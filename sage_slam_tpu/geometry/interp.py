@@ -1,0 +1,128 @@
+"""Bilinear / nearest gather primitives with the reference's border semantics.
+
+All sampling in the factor kernels uses *zero padding per corner*: each of
+the four bilinear corners contributes only if it lies strictly within the
+image bounds (reference WITHIN_BOUNDS, cuda/photometric_factor_kernels.cpp:16,
+corner accumulation :106-139). Mask lookups are *nearest* at full resolution
+(:159-166).
+
+Level coordinate convention: a full-resolution pixel coordinate ``p`` maps to
+level ``l`` as ``(p + 0.5) * (size_l / size_0) - 0.5``
+(photometric_factor_kernels.cpp:101-103,142-144).
+
+These are the SDDMM-style gathers of the framework: on TPU they lower to
+flat one-dimensional gathers from the concatenated pyramid layout
+``[C, N0+N1+...]``, which XLA fuses with the surrounding elementwise math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def level_coords(x: jax.Array, y: jax.Array, ratio_x: float, ratio_y: float):
+    """Map full-res pixel coords to a pyramid level (half-pixel convention)."""
+    return (x + 0.5) * ratio_x - 0.5, (y + 0.5) * ratio_y - 0.5
+
+
+def bilinear_flat(
+    img_flat: jax.Array,  # [C, total] flattened image(s), row-major per level
+    x: jax.Array,  # [N] pixel x (level coords)
+    y: jax.Array,  # [N] pixel y (level coords)
+    width: int,
+    height: int,
+    offset: int = 0,
+) -> jax.Array:
+    """Zero-padding bilinear gather from a flattened image.
+
+    Returns [C, N]. Each corner contributes iff within bounds
+    (photometric_factor_kernels.cpp:106-139).
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx0 = x1 - x  # weight for x0 ("lower")
+    wy0 = y1 - y
+    wx1 = 1.0 - wx0
+    wy1 = 1.0 - wy0
+
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    xi1 = xi0 + 1
+    yi1 = yi0 + 1
+
+    def corner(xi, yi, w):
+        inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        xi_c = jnp.clip(xi, 0, width - 1)
+        yi_c = jnp.clip(yi, 0, height - 1)
+        idx = offset + yi_c * width + xi_c
+        vals = jnp.take(img_flat, idx, axis=-1)  # [C, N]
+        return vals * (w * inb.astype(img_flat.dtype))
+
+    out = (
+        corner(xi0, yi0, wx0 * wy0)
+        + corner(xi1, yi1, wx1 * wy1)
+        + corner(xi0, yi1, wx0 * wy1)
+        + corner(xi1, yi0, wx1 * wy0)
+    )
+    return out
+
+
+def nearest_flat(
+    img_flat: jax.Array,  # [C, total] or [total]
+    x: jax.Array,
+    y: jax.Array,
+    width: int,
+    height: int,
+    offset: int = 0,
+) -> jax.Array:
+    """Zero-padding nearest gather (rounding), used for validity masks
+    (photometric_factor_kernels.cpp:159-166)."""
+    xr = jnp.round(x).astype(jnp.int32)
+    yr = jnp.round(y).astype(jnp.int32)
+    inb = (xr >= 0) & (xr < width) & (yr >= 0) & (yr < height)
+    xi = jnp.clip(xr, 0, width - 1)
+    yi = jnp.clip(yr, 0, height - 1)
+    idx = offset + yi * width + xi
+    vals = jnp.take(img_flat, idx, axis=-1)
+    return vals * inb.astype(img_flat.dtype)
+
+
+def valid_locations(mask_flat: jax.Array, width: int, fx, fy, cx, cy):
+    """Static-shape variant of GenerateValidLocations (mapping_utils.h:254-287).
+
+    Unlike the reference (which compacts with nonzero()), we keep static
+    shapes: returns per-pixel homogeneous coordinates [HW, 3] and the mask;
+    callers select pixels with gathers using precomputed index sets.
+    """
+    n = mask_flat.shape[-1]
+    loc1d = jnp.arange(n, dtype=jnp.float32)
+    x2d = jnp.mod(loc1d, float(width))
+    y2d = jnp.floor(loc1d / float(width))
+    homo = jnp.stack(
+        [(x2d - cx) / fx, (y2d - cy) / fy, jnp.ones_like(x2d)], axis=-1
+    )
+    return homo, mask_flat > 0.5
+
+
+def locations_1d_to_2d(loc1d: jax.Array, width: int):
+    """1D pixel index -> (x, y) float pixel coords (kernels' fmod/floor)."""
+    loc = loc1d.astype(jnp.float32)
+    return jnp.mod(loc, float(width)), jnp.floor(loc / float(width))
+
+
+def locations_1d_to_homo(loc1d: jax.Array, cam) -> jax.Array:
+    """1D pixel index -> homogeneous camera coords [N, 3]
+    (mapping_utils.h:279-284)."""
+    x2d, y2d = locations_1d_to_2d(loc1d, cam.width)
+    return jnp.stack(
+        [
+            (x2d - cam.cx) / cam.fx,
+            (y2d - cam.cy) / cam.fy,
+            jnp.ones_like(x2d),
+        ],
+        axis=-1,
+    )

@@ -1,0 +1,262 @@
+"""SE(3) utilities with the reference system's tangent conventions.
+
+Conventions (must match the reference bit-for-bit to reproduce GN iterates):
+
+* tangent layout is ``[translation(3), rotation(3)]``
+  (reference: system/sources/core/gtsam/gtsam_traits.h:56-58),
+* retract is LEFT-multiplicative: ``T_new = Exp(delta) * T``
+  (gtsam_traits.h:45-70),
+* ``local(a, b)`` is the *raw* translation of ``b * a^-1`` for the
+  translation part (NO V^-1 applied) and ``Log(R_b R_a^-1)`` for rotation
+  (gtsam_traits.h:78-89),
+* the exponential clamps theta to >= 1e-14 and uses a fixed fallback axis
+  for theta == 0 (gtsam_traits.h:107-137).
+
+Everything here is batched (leading dims broadcast) and jit/vmap friendly.
+Poses are stored as a pytree pair ``(rot [..., 3, 3], trans [..., 3])``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_THETA_MIN = 1.0e-14
+
+
+class SE3(NamedTuple):
+    """A rigid transform: x_out = rot @ x + trans."""
+
+    rot: jax.Array  # [..., 3, 3]
+    trans: jax.Array  # [..., 3]
+
+    @staticmethod
+    def identity(batch_shape=(), dtype=jnp.float32) -> "SE3":
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*batch_shape, 3, 3))
+        trans = jnp.zeros((*batch_shape, 3), dtype=dtype)
+        return SE3(rot, trans)
+
+    @property
+    def batch_shape(self):
+        return self.trans.shape[:-1]
+
+    def matrix(self) -> jax.Array:
+        """[..., 4, 4] homogeneous matrix."""
+        bottom = jnp.zeros((*self.batch_shape, 1, 4), self.rot.dtype)
+        bottom = bottom.at[..., 0, 3].set(1.0)
+        top = jnp.concatenate([self.rot, self.trans[..., :, None]], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+
+
+def hat(omega: jax.Array) -> jax.Array:
+    """so(3) hat operator: [..., 3] -> [..., 3, 3]."""
+    ox, oy, oz = omega[..., 0], omega[..., 1], omega[..., 2]
+    zero = jnp.zeros_like(ox)
+    rows = jnp.stack(
+        [
+            jnp.stack([zero, -oz, oy], axis=-1),
+            jnp.stack([oz, zero, -ox], axis=-1),
+            jnp.stack([-oy, ox, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows
+
+
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rodrigues with the reference's normalized-axis formulation.
+
+    Matches gtsam_traits.h:107-137 (se3_exp): theta clamped to >=1e-14,
+    fallback axis (1,0,0) when ||omega|| == 0.
+    """
+    dtype = omega.dtype
+    norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    safe = jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    fallback = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0], dtype=dtype), omega.shape
+    )
+    axis = jnp.where(norm > 0, omega / safe, fallback)
+    theta = jnp.maximum(norm[..., 0], jnp.asarray(_THETA_MIN, dtype))
+
+    st = jnp.sin(theta)[..., None, None]
+    ct = jnp.cos(theta)[..., None, None]
+    k = hat(axis)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), k.shape)
+    return eye + st * k + (1.0 - ct) * k2
+
+
+def se3_exp(tau: jax.Array) -> SE3:
+    """Exp of tangent [trans(3), rot(3)] -> SE3 (gtsam_traits.h:107-137)."""
+    v, omega = tau[..., :3], tau[..., 3:6]
+    dtype = tau.dtype
+    norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    safe = jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    fallback = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0], dtype=dtype), omega.shape
+    )
+    axis = jnp.where(norm > 0, omega / safe, fallback)
+    theta = jnp.maximum(norm[..., 0], jnp.asarray(_THETA_MIN, dtype))
+
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    k = hat(axis)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), k.shape)
+
+    rot = eye + st[..., None, None] * k + (1.0 - ct)[..., None, None] * k2
+    big_v = (
+        eye
+        + ((1.0 - ct) / theta)[..., None, None] * k
+        + ((theta - st) / theta)[..., None, None] * k2
+    )
+    trans = jnp.einsum("...ij,...j->...i", big_v, v)
+    return SE3(rot, trans)
+
+
+def so3_log(rot: jax.Array) -> jax.Array:
+    """Log map of SO(3): [..., 3, 3] -> [..., 3] (angle*axis).
+
+    Numerically-safe standard formulation (used for pose distance and
+    local(); the reference defers to Sophus' log here).
+    """
+    trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # vee of the antisymmetric part
+    w = jnp.stack(
+        [
+            rot[..., 2, 1] - rot[..., 1, 2],
+            rot[..., 0, 2] - rot[..., 2, 0],
+            rot[..., 1, 0] - rot[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    # theta / (2 sin theta), safe at theta -> 0 (limit 1/2)
+    small = jnp.abs(sin_theta) < 1e-6
+    factor = jnp.where(
+        small,
+        0.5 + theta**2 / 12.0,
+        theta / jnp.where(small, jnp.ones_like(sin_theta), 2.0 * sin_theta),
+    )
+    omega = factor[..., None] * w
+    # near theta == pi, w ~ 0; fall back to diagonal-based extraction
+    near_pi = theta > (jnp.pi - 1e-3)
+
+    def _pi_branch():
+        # R = I + 2*hat(a)^2 at theta=pi => a_i^2 = (R_ii + 1)/2
+        diag = jnp.stack(
+            [rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1
+        )
+        axis_sq = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
+        axis = jnp.sqrt(axis_sq)
+        # fix signs using off-diagonal sums
+        sx = jnp.where(rot[..., 2, 1] - rot[..., 1, 2] < 0, -1.0, 1.0)
+        sy = jnp.where(rot[..., 0, 2] - rot[..., 2, 0] < 0, -1.0, 1.0)
+        sz = jnp.where(rot[..., 1, 0] - rot[..., 0, 1] < 0, -1.0, 1.0)
+        # prefer consistency with largest component via off-diagonals
+        # a_x*a_y = (R01 + R10)/4 etc.; use sign of dominant axis positive
+        axy = rot[..., 0, 1] + rot[..., 1, 0]
+        axz = rot[..., 0, 2] + rot[..., 2, 0]
+        ayz = rot[..., 1, 2] + rot[..., 2, 1]
+        dominant = jnp.argmax(axis, axis=-1)
+        sign_x = jnp.where(dominant == 0, 1.0, jnp.where(dominant == 1, jnp.sign(axy), jnp.sign(axz)))
+        sign_y = jnp.where(dominant == 1, 1.0, jnp.where(dominant == 0, jnp.sign(axy), jnp.sign(ayz)))
+        sign_z = jnp.where(dominant == 2, 1.0, jnp.where(dominant == 0, jnp.sign(axz), jnp.sign(ayz)))
+        sign_x = jnp.where(sign_x == 0, sx, sign_x)
+        sign_y = jnp.where(sign_y == 0, sy, sign_y)
+        sign_z = jnp.where(sign_z == 0, sz, sign_z)
+        a = axis * jnp.stack([sign_x, sign_y, sign_z], axis=-1)
+        return theta[..., None] * a
+
+    omega = jnp.where(near_pi[..., None], _pi_branch(), omega)
+    return omega
+
+
+def compose(a: SE3, b: SE3) -> SE3:
+    """a * b (apply b first, then a)."""
+    rot = a.rot @ b.rot
+    trans = jnp.einsum("...ij,...j->...i", a.rot, b.trans) + a.trans
+    return SE3(rot, trans)
+
+
+def inverse(p: SE3) -> SE3:
+    rot_t = jnp.swapaxes(p.rot, -1, -2)
+    return SE3(rot_t, -jnp.einsum("...ij,...j->...i", rot_t, p.trans))
+
+
+def act(p: SE3, x: jax.Array) -> jax.Array:
+    """Apply transform to points [..., 3]."""
+    return jnp.einsum("...ij,...j->...i", p.rot, x) + p.trans
+
+
+def retract(p: SE3, delta: jax.Array) -> SE3:
+    """Left-multiplicative retract: Exp(delta) * p (gtsam_traits.h:45-70)."""
+    d = se3_exp(delta)
+    rot = d.rot @ p.rot
+    trans = jnp.einsum("...ij,...j->...i", d.rot, p.trans) + d.trans
+    return SE3(rot, trans)
+
+
+def local(origin: SE3, other: SE3) -> jax.Array:
+    """Chart at `origin` mapping `other` to the tangent space.
+
+    Reference semantics (gtsam_traits.h:78-89): for D = other * origin^-1,
+    translation part is D.trans *raw* (no V^-1), rotation part is Log(D.rot).
+    Note: NOT the exact inverse of `retract` for large rotations — the
+    reference keeps this asymmetry and so do we.
+    """
+    rel_rot = other.rot @ jnp.swapaxes(origin.rot, -1, -2)
+    t = other.trans - jnp.einsum("...ij,...j->...i", rel_rot, origin.trans)
+    return jnp.concatenate([t, so3_log(rel_rot)], axis=-1)
+
+
+def relative_pose(a: SE3, b: SE3) -> SE3:
+    """b expressed in frame a: a^-1 * b (mapping_utils.h:135-141)."""
+    return compose(inverse(a), b)
+
+
+def pose_distance(
+    a: SE3, b: SE3, trans_weight: float = 1.0, rot_weight: float = 1.0
+) -> jax.Array:
+    """Weighted pose distance ignoring roll (mapping_utils.h:372-382).
+
+    drot uses only the first two components of the relative so3 log —
+    a pure roll rotation adds no parallax so the reference ignores it.
+    """
+    rel = relative_pose(a, b)
+    omega = so3_log(rel.rot)
+    drot = jnp.linalg.norm(omega[..., :2], axis=-1)
+    dtrans = jnp.linalg.norm(rel.trans, axis=-1)
+    return dtrans * trans_weight + drot * rot_weight
+
+
+def se3_log(p: SE3) -> jax.Array:
+    """Proper SE(3) log (V^-1 applied), tangent = [trans, rot].
+
+    Used for trajectory export / diagnostics (the reference uses Sophus'
+    log for printing); the optimizer itself only needs retract/local.
+    """
+    omega = so3_log(p.rot)
+    theta = jnp.linalg.norm(omega, axis=-1)
+    k = hat(omega)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.rot.dtype), p.rot.shape)
+    theta_sq = theta**2
+    small = theta < 1e-5
+    safe_theta_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0,
+        (
+            1.0
+            - theta * jnp.cos(theta / 2.0) / (2.0 * jnp.sin(theta / 2.0) + jnp.where(small, 1.0, 0.0))
+        )
+        / safe_theta_sq,
+    )
+    v_inv = eye - 0.5 * k + coef[..., None, None] * k2
+    v = jnp.einsum("...ij,...j->...i", v_inv, p.trans)
+    return jnp.concatenate([v, omega], axis=-1)

@@ -1,0 +1,182 @@
+"""Geometric (depth-consistency) factor — Cauchy-robustified.
+
+Reference: cuda/geometric_factor_kernels.cpp (biased variant, :474-718 —
+the active path, geometric_factor.cpp:335-347) + host reduce (:833-920-ish).
+
+Residual per sampled point of kf0 warped into kf1:
+  r = within_mask * (d1_sampled - z1),
+where z1 is the warped depth and d1_sampled is kf1's *scaled* decoded depth
+bilinearly sampled at the warped pixel. Robustification stores
+``sqrt_w * r`` and ``sqrt_w * J`` with
+``sqrt_w = within * sqrt(1 / (r_raw^2 + loss_param))`` gated by z1 > eps;
+the *error* is the true Cauchy cost ``log(1 + (within*r)^2 / loss_param)``.
+
+Jacobian sign convention: rows store d(z1 - d1)/d(params) = -dr/dx (same
+convention as the photometric factor), so the GN step is AtA^-1 Atb.
+
+Hessian block layout (dim 14+2CS):
+  [0:6] pose0, [6:12] pose1, [12:12+CS] code0, [12+CS:12+2CS] code1,
+  [12+2CS] scale0, [13+2CS] scale1  (geometric_factor.h:70).
+
+Operates at full output resolution (single level).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import interp
+from ..geometry.camera import PinholeCamera
+from ..geometry.se3 import SE3
+from . import residuals
+from .depth import decode_depth_at
+
+
+class GeoKf0(NamedTuple):
+    loc1d: jax.Array  # [N] int32
+    homo0: jax.Array  # [N, 3]
+    bias_flat: jax.Array  # [HW]
+    jac_flat: jax.Array  # [HW, CS]
+
+
+class GeoKf1(NamedTuple):
+    bias_flat: jax.Array  # [HW]
+    jac_flat: jax.Array  # [HW, CS]
+    mask_flat: jax.Array  # [HW]
+
+
+def _decode_maps_1(kf1: GeoKf1, code1, scale1, height, width):
+    """scale1 * (bias1 + J1 @ code1) plus its spatial gradient
+    (geometric_factor.cpp:317-320, 340-341)."""
+    from .pyramid import spatial_grad
+
+    unscaled = (kf1.bias_flat + kf1.jac_flat @ code1).reshape(height, width)
+    grad = spatial_grad(unscaled[None])[:, 0]  # [2, H, W]
+    return scale1 * unscaled, scale1 * grad
+
+
+def geometric_jac_error(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    code1: jax.Array,
+    scale0: jax.Array,
+    scale1: jax.Array,
+    kf0: GeoKf0,
+    kf1: GeoKf1,
+    cam: PinholeCamera,
+    factor_weight: float,
+    loss_param,
+    eps: float,
+):
+    """Returns (AtA [D,D], Atb [D], error, n_inliers), D = 14+2CS."""
+    cs = kf0.jac_flat.shape[-1]
+    dim = 14 + 2 * cs
+    dtype = kf0.homo0.dtype
+    h, w = cam.height, cam.width
+
+    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
+    depth0 = decode_depth_at(kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0)
+    warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
+    u1, v1 = residuals.project_full_res(
+        warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+    )
+
+    dpt_map_1, dpt_grad_1 = _decode_maps_1(kf1, code1, scale1, h, w)
+    d1 = interp.bilinear_flat(dpt_map_1.reshape(1, -1), u1, v1, w, h)[0]  # [N]
+    g1 = interp.bilinear_flat(dpt_grad_1.reshape(2, -1), u1, v1, w, h)  # [2, N]
+    jac1 = interp.bilinear_flat(
+        jnp.swapaxes(kf1.jac_flat, 0, 1), u1, v1, w, h
+    )  # [CS, N] of the raw code jacobian
+    within = interp.nearest_flat(kf1.mask_flat, u1, v1, w, h)
+    pos = warped.pos_depth.astype(dtype)
+
+    z1 = warped.points_in_1[..., 2]
+    raw = d1 - z1
+    err_pt = pos * jnp.log1p((within * raw) ** 2 / loss_param)
+    sqrt_w = pos * within * jax.lax.rsqrt(raw**2 + loss_param)
+
+    # geometry jacobians
+    jp = residuals.proj_jac_point(warped.points_in_1, cam.fx, cam.fy)  # [N,2,3]
+    xw = residuals.points_world(kf0.homo0, depth0, p0)
+    jac_x_p0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
+    j2d_p0 = jnp.einsum("nij,njk->nik", jp, jac_x_p0)  # [N, 2, 6]
+    grad_dot_j2d_p0 = jnp.einsum("dn,ndk->nk", g1, j2d_p0)  # [N, 6]
+    # d(z1 - d1)/d pose0: loc_jac row2 - grad·proj_jac (kernel :674-681)
+    jpose0 = jac_x_p0[:, 2, :] - grad_dot_j2d_p0  # [N, 6]
+    jpose1 = -jpose0
+
+    j2d_dpt = residuals.proj_jac_depth(
+        warped.rotated_homo, warped.points_in_1, cam.fx, cam.fy
+    )  # [N, 2]
+    d1_jac_dpt0 = jnp.einsum("dn,nd->n", g1, j2d_dpt)  # [N]
+    jac_code0_at = jnp.take(kf0.jac_flat, kf0.loc1d, axis=0)  # [N, CS]
+    rh_z = warped.rotated_homo[..., 2]
+    # (rh_z - d(d1)/d(dpt0)) * scale0 * dJcode0 (kernel :686, :697)
+    jcode0 = ((rh_z - d1_jac_dpt0) * scale0)[:, None] * jac_code0_at
+    jcode1 = -scale1 * jac1.T  # [N, CS] (kernel :698)
+    jscale0 = (rh_z - d1_jac_dpt0) * depth0 / scale0  # (kernel :688)
+    jscale1 = -d1 / scale1  # (kernel :689)
+
+    rows = jnp.concatenate(
+        [
+            jpose0,
+            jpose1,
+            jcode0,
+            jcode1,
+            jscale0[:, None],
+            jscale1[:, None],
+        ],
+        axis=-1,
+    )  # [N, D]
+    rows = rows * sqrt_w[:, None]
+    diff = sqrt_w * raw
+
+    n_inl = jnp.sum(pos * within)
+    has = n_inl > 0
+    inv = jnp.where(has, factor_weight / jnp.maximum(n_inl, 1.0), 0.0)
+    ata = inv * (rows.T @ rows)
+    atb = inv * (rows.T @ diff)
+    error = jnp.where(has, inv * jnp.sum(err_pt), factor_weight * 10.0)
+    return ata, atb, error, n_inl
+
+
+def geometric_error(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    code1: jax.Array,
+    scale0: jax.Array,
+    scale1: jax.Array,
+    kf0: GeoKf0,
+    kf1: GeoKf1,
+    cam: PinholeCamera,
+    factor_weight: float,
+    loss_param,
+    eps: float,
+):
+    """Error-only path (geometric_error_calculate, kernel :126-217)."""
+    h, w = cam.height, cam.width
+    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
+    depth0 = decode_depth_at(kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0)
+    warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
+    u1, v1 = residuals.project_full_res(
+        warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    dpt_map_1 = scale1 * (kf1.bias_flat + kf1.jac_flat @ code1)
+    d1 = interp.bilinear_flat(dpt_map_1.reshape(1, -1), u1, v1, w, h)[0]
+    within = interp.nearest_flat(kf1.mask_flat, u1, v1, w, h)
+    pos = warped.pos_depth.astype(d1.dtype)
+    raw = d1 - warped.points_in_1[..., 2]
+    err_pt = pos * jnp.log1p((within * raw) ** 2 / loss_param)
+    n_inl = jnp.sum(pos * within)
+    has = n_inl > 0
+    error = jnp.where(
+        has,
+        factor_weight * jnp.sum(err_pt) / jnp.maximum(n_inl, 1.0),
+        factor_weight * 10.0,
+    )
+    return error, n_inl

@@ -1,0 +1,205 @@
+"""Photometric (feature-metric) factor — residual, Jacobian, Hessian.
+
+Re-design of the reference photometric factor for TPU: one batched tensor
+program per edge replaces the CUDA grid over (sample, level)
+(cuda/photometric_factor_kernels.cpp:33-368 + host reduce :1061-1164).
+The per-point Jacobian rows are assembled as a [L*N*FS, 13+CS] matrix and
+reduced on the MXU with a single matmul per level — the SDDMM(gather) +
+GEMM(reduce) structure this framework is built around.
+
+Variable block layout of the 29-dim (13+CS) Hessian:
+  [0:6]  pose0 tangent, [6:12] pose1 tangent, [12:12+CS] code0, [28] scale0
+(photometric_factor.h:80, factor key order photometric_factor.cpp:151).
+
+Semantics replicated from the reference:
+* residual r = within_mask * (f0 - f1) per channel, gated by z>eps,
+* J stored is d(f1)/d(params) (so GN step = AtA^-1 Atb directly),
+* inlier normalization uses LEVEL-0 valid count only (:1139),
+* zero-inlier penalty: error = 10 * sum(level weights), AtA = Atb = 0
+  (:1156-1161).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import interp
+from ..geometry.camera import CameraPyramid
+from ..geometry.se3 import SE3
+from . import residuals
+from .depth import decode_depth_at
+
+
+class PhotoKf0(NamedTuple):
+    """Source-keyframe data for a photometric edge."""
+
+    loc1d: jax.Array  # [N] int32 sampled pixel indices (full res)
+    homo0: jax.Array  # [N, 3] homogeneous rays of those pixels
+    bias_flat: jax.Array  # [HW]
+    jac_flat: jax.Array  # [HW, CS]
+    feat_pyr: jax.Array  # [C, T] concatenated feature pyramid
+
+
+class PhotoFr1(NamedTuple):
+    """Target-frame data for a photometric edge."""
+
+    feat_pyr: jax.Array  # [C, T]
+    grad_pyr: jax.Array  # [2, C, T]
+    mask_flat: jax.Array  # [HW] full-res validity mask
+
+
+def _per_level_samples(
+    cam_pyr: CameraPyramid,
+    level: int,
+    u_full: jax.Array,
+    v_full: jax.Array,
+    pyr: jax.Array,
+):
+    cam_l = cam_pyr[level]
+    cam0 = cam_pyr[0]
+    rx = cam_l.fx / cam0.fx
+    ry = cam_l.fy / cam0.fy
+    ul, vl = interp.level_coords(u_full, v_full, rx, ry)
+    return interp.bilinear_flat(
+        pyr, ul, vl, cam_l.width, cam_l.height, cam_pyr.level_offsets[level]
+    )
+
+
+def photometric_error(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    scale0: jax.Array,
+    kf0: PhotoKf0,
+    fr1: PhotoFr1,
+    cam_pyr: CameraPyramid,
+    weights,
+    eps: float,
+):
+    """Error-only path (photometric_error_calculate :990-1059).
+
+    Returns (error scalar, n_inliers scalar).
+    """
+    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
+    depth0 = decode_depth_at(
+        kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0
+    )
+    w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
+    cam0 = cam_pyr[0]
+    u1, v1 = residuals.project_full_res(
+        w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
+    )
+    x0, y0 = interp.locations_1d_to_2d(kf0.loc1d, cam0.width)
+    within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
+    pos = w.pos_depth.astype(within.dtype)
+
+    err_total = jnp.zeros((), within.dtype)
+    n_inl = jnp.zeros((), within.dtype)
+    for lvl in range(cam_pyr.levels):
+        f0 = _per_level_samples(cam_pyr, lvl, x0, y0, kf0.feat_pyr)
+        f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
+        err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=0)
+        err_total = err_total + weights[lvl] * jnp.sum(err_pt)
+        if lvl == 0:
+            n_inl = jnp.sum(pos * within)
+
+    w_sum = jnp.sum(jnp.asarray(weights))
+    error = jnp.where(n_inl > 0, err_total / jnp.maximum(n_inl, 1.0), w_sum * 10.0)
+    return error, n_inl
+
+
+def photometric_jac_error(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    scale0: jax.Array,
+    kf0: PhotoKf0,
+    fr1: PhotoFr1,
+    cam_pyr: CameraPyramid,
+    weights,
+    eps: float,
+):
+    """Linearization path (photometric_jac_error_calculate :1061-1164).
+
+    Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers).
+    """
+    cs = kf0.jac_flat.shape[-1]
+    dim = 13 + cs
+    dtype = kf0.homo0.dtype
+
+    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
+    depth0 = decode_depth_at(
+        kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0
+    )
+    w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
+    cam0 = cam_pyr[0]
+    u1, v1 = residuals.project_full_res(
+        w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
+    )
+    x0, y0 = interp.locations_1d_to_2d(kf0.loc1d, cam0.width)
+    within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
+    pos = w.pos_depth.astype(dtype)
+    gate = pos * within  # [N]
+
+    xw = residuals.points_world(kf0.homo0, depth0, p0)
+    jac_x_pose0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
+    dpt_jac_code_at = jnp.take(kf0.jac_flat, kf0.loc1d, axis=0)  # [N, CS]
+
+    ata = jnp.zeros((dim, dim), dtype)
+    atb = jnp.zeros((dim,), dtype)
+    err_total = jnp.zeros((), dtype)
+    n_inl = jnp.zeros((), dtype)
+
+    for lvl in range(cam_pyr.levels):
+        cam_l = cam_pyr[lvl]
+        f0 = _per_level_samples(cam_pyr, lvl, x0, y0, kf0.feat_pyr)  # [C,N]
+        f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
+        # grad pyramid sampled at warped locations, gated (kernels :191-222)
+        g_flat = fr1.grad_pyr.reshape(-1, fr1.grad_pyr.shape[-1])  # [2C, T]
+        g1 = _per_level_samples(cam_pyr, lvl, u1, v1, g_flat)
+        g1 = g1.reshape(2, -1, g1.shape[-1]) * gate  # [2, C, N]
+
+        diff = gate * (f0 - f1)  # [C, N] residual rows
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        if lvl == 0:
+            n_inl = jnp.sum(gate)
+
+        # geometry jacobians at this level's focal lengths
+        jp = residuals.proj_jac_point(w.points_in_1, cam_l.fx, cam_l.fy)
+        j2d_pose0 = jnp.einsum("nij,njk->nik", jp, jac_x_pose0)  # [N,2,6]
+        j2d_dpt = residuals.proj_jac_depth(
+            w.rotated_homo, w.points_in_1, cam_l.fx, cam_l.fy
+        )  # [N, 2]
+        j2d_code = (
+            j2d_dpt[..., None] * (scale0 * dpt_jac_code_at)[:, None, :]
+        )  # [N, 2, CS]
+        j2d_scale = j2d_dpt * (depth0 / scale0)[..., None]  # [N, 2]
+
+        # chain through sampled feature gradients: [C,N,param]
+        # feat_jac = g1x * j2d[...,0,:] + g1y * j2d[...,1,:]
+        def chain(j2d_rows):  # [N, 2, P] -> [N, C, P]
+            return jnp.einsum("dcn,ndp->ncp", g1, j2d_rows)
+
+        jpose0 = chain(j2d_pose0)  # [N, C, 6]
+        jcode = chain(j2d_code)  # [N, C, CS]
+        jscale = jnp.einsum("dcn,nd->nc", g1, j2d_scale)  # [N, C]
+
+        rows = jnp.concatenate(
+            [jpose0, -jpose0, jcode, jscale[..., None]], axis=-1
+        )  # [N, C, 29]
+        rows2 = rows.reshape(-1, dim)
+        diff2 = diff.T.reshape(-1)  # [N*C], consistent (n, c) ordering
+
+        wl = jnp.asarray(weights[lvl], dtype)
+        ata = ata + wl * (rows2.T @ rows2)
+        atb = atb + wl * (rows2.T @ diff2)
+        err_total = err_total + wl * jnp.sum(err_pt)
+
+    w_sum = jnp.sum(jnp.asarray(weights, dtype))
+    has_inl = n_inl > 0
+    inv = jnp.where(has_inl, 1.0 / jnp.maximum(n_inl, 1.0), 0.0)
+    error = jnp.where(has_inl, err_total * inv, w_sum * 10.0)
+    return ata * inv, atb * inv, error, n_inl

@@ -1,0 +1,326 @@
+"""Sliding-window / global bundle adjustment over the keyframe window.
+
+The TPU-native counterpart of Mapper::MappingStep + ISAM2
+(mapper.cpp:469-612): photometric and geometric edges live in padded edge
+tables, are linearized by vmapped factor kernels, PSD-corrected, and
+scatter-added into one dense block Hessian over the window; priors are
+added per keyframe; the damped GN loop (solver.graph.lm_loop) runs the
+whole optimization inside a single jit.
+
+Edge semantics follow EnqueueKeyframe/EnqueueLink (mapper.cpp:313-453):
+each keyframe link contributes factors in BOTH directions (i->j and j->i).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraPyramid
+from ..geometry.se3 import SE3
+from ..ops import geometric, photometric, priors
+from . import graph
+from .graph import Variables
+
+
+class WindowData(NamedTuple):
+    """Per-keyframe padded device arrays (leading axis K = window size).
+
+    The concatenated pyramid layout matches Frame (frame.h:100-124)."""
+
+    loc1d: jax.Array  # [K, N] int32 sampled photometric pixel ids
+    homo: jax.Array  # [K, N, 3]
+    bias_flat: jax.Array  # [K, HW]
+    jac_flat: jax.Array  # [K, HW, CS]
+    feat_pyr: jax.Array  # [K, C, T]
+    grad_pyr: jax.Array  # [K, 2, C, T]
+    avg_sq_bias: jax.Array  # [K] masked mean of squared depth bias
+    mask_flat: jax.Array  # [HW] shared video mask (full res)
+
+
+class EdgeTable(NamedTuple):
+    """Directed factor edges kf[i0] -> frame[i1], padded with valid=0."""
+
+    i0: jax.Array  # [E] int32
+    i1: jax.Array  # [E] int32
+    valid: jax.Array  # [E] float 0/1
+
+
+class PriorTable(NamedTuple):
+    """Per-keyframe priors (mapper.cpp:188-196, df_work.cpp:24-34)."""
+
+    code_valid: jax.Array  # [K] code prior on every active keyframe
+    scale_valid: jax.Array  # [K] scale prior (init keyframe / loop anchors)
+    scale_init: jax.Array  # [K] target scale
+    pose_valid: jax.Array  # [K] pose prior (gauge anchor)
+    pose_target: SE3  # [K] target poses
+
+
+class BAProblem(NamedTuple):
+    window: WindowData
+    photo_edges: EdgeTable
+    geo_edges: EdgeTable
+    priors: PriorTable
+
+
+def _gather_photo_inputs(window: WindowData, e: EdgeTable):
+    kf0 = photometric.PhotoKf0(
+        loc1d=window.loc1d[e.i0],
+        homo0=window.homo[e.i0],
+        bias_flat=window.bias_flat[e.i0],
+        jac_flat=window.jac_flat[e.i0],
+        feat_pyr=window.feat_pyr[e.i0],
+    )
+    fr1 = photometric.PhotoFr1(
+        feat_pyr=window.feat_pyr[e.i1],
+        grad_pyr=window.grad_pyr[e.i1],
+        mask_flat=jnp.broadcast_to(
+            window.mask_flat, (e.i1.shape[0], window.mask_flat.shape[0])
+        ),
+    )
+    return kf0, fr1
+
+
+def _gather_geo_inputs(window: WindowData, e: EdgeTable):
+    kf0 = geometric.GeoKf0(
+        loc1d=window.loc1d[e.i0],
+        homo0=window.homo[e.i0],
+        bias_flat=window.bias_flat[e.i0],
+        jac_flat=window.jac_flat[e.i0],
+    )
+    kf1 = geometric.GeoKf1(
+        bias_flat=window.bias_flat[e.i1],
+        jac_flat=window.jac_flat[e.i1],
+        mask_flat=jnp.broadcast_to(
+            window.mask_flat, (e.i1.shape[0], window.mask_flat.shape[0])
+        ),
+    )
+    return kf0, kf1
+
+
+def _edge_vars(variables: Variables, idx: jax.Array) -> SE3:
+    return SE3(variables.pose.rot[idx], variables.pose.trans[idx])
+
+
+def linearize(
+    variables: Variables,
+    problem: BAProblem,
+    cam_pyr: CameraPyramid,
+    cfg,
+    psd: bool = True,
+):
+    """Full graph linearization -> (H [D,D], b [D], error scalar)."""
+    k = variables.num_kf
+    cs = variables.code_size
+    bd = variables.block_dim
+    dtype = variables.scale.dtype
+    h, b = graph.empty_system(k, bd, dtype)
+    total_err = jnp.zeros((), dtype)
+
+    sel_pose = jnp.arange(6, dtype=jnp.int32)
+    sel_code = jnp.arange(6, 6 + cs, dtype=jnp.int32)
+    sel_scale = jnp.arange(6 + cs, 7 + cs, dtype=jnp.int32)
+
+    # ---- photometric edges: vars (p0, p1, c0, s0), dim 13+CS ----
+    pe = problem.photo_edges
+    if pe.i0.shape[0] > 0:
+        kf0, fr1 = _gather_photo_inputs(problem.window, pe)
+
+        def photo_one(p0, p1, c0, s0, kf0_e, fr1_e):
+            return photometric.photometric_jac_error(
+                p0, p1, c0, s0, kf0_e, fr1_e, cam_pyr,
+                cfg.photo_factor_weights, cfg.dpt_eps,
+            )
+
+        ata, atb, err, _ = jax.vmap(photo_one)(
+            _edge_vars(variables, pe.i0),
+            _edge_vars(variables, pe.i1),
+            variables.code[pe.i0],
+            variables.scale[pe.i0],
+            kf0,
+            fr1,
+        )
+        if psd:
+            ata = graph.psd_correct(ata)
+        gidx = jnp.concatenate(
+            [
+                graph.slot_indices(pe.i0, bd, sel_pose),
+                graph.slot_indices(pe.i1, bd, sel_pose),
+                graph.slot_indices(pe.i0, bd, sel_code),
+                graph.slot_indices(pe.i0, bd, sel_scale),
+            ],
+            axis=-1,
+        )  # [E, 13+CS]
+        h, b = graph.scatter_hessian(h, b, gidx, ata, atb, pe.valid)
+        total_err = total_err + jnp.sum(err * pe.valid)
+
+    # ---- geometric edges: vars (p0, p1, c0, c1, s0, s1), dim 14+2CS ----
+    ge = problem.geo_edges
+    if ge.i0.shape[0] > 0:
+        kf0, kf1 = _gather_geo_inputs(problem.window, ge)
+        loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
+            ge.i0
+        ]
+
+        def geo_one(p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp):
+            return geometric.geometric_jac_error(
+                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, cam_pyr[0],
+                cfg.geo_factor_weight, lp, cfg.dpt_eps,
+            )
+
+        ata, atb, err, _ = jax.vmap(geo_one)(
+            _edge_vars(variables, ge.i0),
+            _edge_vars(variables, ge.i1),
+            variables.code[ge.i0],
+            variables.code[ge.i1],
+            variables.scale[ge.i0],
+            variables.scale[ge.i1],
+            kf0,
+            kf1,
+            loss_param,
+        )
+        if psd:
+            ata = graph.psd_correct(ata)
+        gidx = jnp.concatenate(
+            [
+                graph.slot_indices(ge.i0, bd, sel_pose),
+                graph.slot_indices(ge.i1, bd, sel_pose),
+                graph.slot_indices(ge.i0, bd, sel_code),
+                graph.slot_indices(ge.i1, bd, sel_code),
+                graph.slot_indices(ge.i0, bd, sel_scale),
+                graph.slot_indices(ge.i1, bd, sel_scale),
+            ],
+            axis=-1,
+        )  # [E, 14+2CS]
+        h, b = graph.scatter_hessian(h, b, gidx, ata, atb, ge.valid)
+        total_err = total_err + jnp.sum(err * ge.valid)
+
+    # ---- priors ----
+    pr = problem.priors
+    kf_range = jnp.arange(k, dtype=jnp.int32)
+
+    ata_c, atb_c, err_c = jax.vmap(
+        lambda c: priors.code_prior(c, jnp.zeros_like(c), cfg.code_factor_weight)
+    )(variables.code)
+    gidx_c = graph.slot_indices(kf_range, bd, sel_code)
+    h, b = graph.scatter_hessian(h, b, gidx_c, ata_c, atb_c, pr.code_valid)
+    total_err = total_err + jnp.sum(err_c * pr.code_valid)
+
+    ata_s, atb_s, err_s = jax.vmap(
+        lambda s, s0: priors.scale_prior(s, s0, cfg.init_scale_prior_weight)
+    )(variables.scale, pr.scale_init)
+    gidx_s = graph.slot_indices(kf_range, bd, sel_scale)
+    h, b = graph.scatter_hessian(h, b, gidx_s, ata_s, atb_s, pr.scale_valid)
+    total_err = total_err + jnp.sum(err_s * pr.scale_valid)
+
+    ata_p, atb_p, err_p = jax.vmap(
+        lambda p_rot, p_trans, t_rot, t_trans: priors.pose_prior(
+            SE3(p_rot, p_trans), SE3(t_rot, t_trans), cfg.init_pose_prior_weight
+        )
+    )(
+        variables.pose.rot,
+        variables.pose.trans,
+        pr.pose_target.rot,
+        pr.pose_target.trans,
+    )
+    gidx_p = graph.slot_indices(kf_range, bd, sel_pose)
+    h, b = graph.scatter_hessian(h, b, gidx_p, ata_p, atb_p, pr.pose_valid)
+    total_err = total_err + jnp.sum(err_p * pr.pose_valid)
+
+    return h, b, total_err
+
+
+def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
+    """Error-only evaluation for LM accept/reject."""
+    dtype = variables.scale.dtype
+    total = jnp.zeros((), dtype)
+
+    pe = problem.photo_edges
+    if pe.i0.shape[0] > 0:
+        kf0, fr1 = _gather_photo_inputs(problem.window, pe)
+        err, _ = jax.vmap(
+            lambda p0, p1, c0, s0, kf0_e, fr1_e: photometric.photometric_error(
+                p0, p1, c0, s0, kf0_e, fr1_e, cam_pyr,
+                cfg.photo_factor_weights, cfg.dpt_eps,
+            )
+        )(
+            _edge_vars(variables, pe.i0),
+            _edge_vars(variables, pe.i1),
+            variables.code[pe.i0],
+            variables.scale[pe.i0],
+            kf0,
+            fr1,
+        )
+        total = total + jnp.sum(err * pe.valid)
+
+    ge = problem.geo_edges
+    if ge.i0.shape[0] > 0:
+        kf0, kf1 = _gather_geo_inputs(problem.window, ge)
+        loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
+            ge.i0
+        ]
+        err, _ = jax.vmap(
+            lambda p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp: geometric.geometric_error(
+                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, cam_pyr[0],
+                cfg.geo_factor_weight, lp, cfg.dpt_eps,
+            )
+        )(
+            _edge_vars(variables, ge.i0),
+            _edge_vars(variables, ge.i1),
+            variables.code[ge.i0],
+            variables.code[ge.i1],
+            variables.scale[ge.i0],
+            variables.scale[ge.i1],
+            kf0,
+            kf1,
+            loss_param,
+        )
+        total = total + jnp.sum(err * ge.valid)
+
+    pr = problem.priors
+    _, _, err_c = jax.vmap(
+        lambda c: priors.code_prior(c, jnp.zeros_like(c), cfg.code_factor_weight)
+    )(variables.code)
+    total = total + jnp.sum(err_c * pr.code_valid)
+    _, _, err_s = jax.vmap(
+        lambda s, s0: priors.scale_prior(s, s0, cfg.init_scale_prior_weight)
+    )(variables.scale, pr.scale_init)
+    total = total + jnp.sum(err_s * pr.scale_valid)
+    _, _, err_p = jax.vmap(
+        lambda pr_, pt, tr, tt: priors.pose_prior(
+            SE3(pr_, pt), SE3(tr, tt), cfg.init_pose_prior_weight
+        )
+    )(
+        variables.pose.rot,
+        variables.pose.trans,
+        pr.pose_target.rot,
+        pr.pose_target.trans,
+    )
+    total = total + jnp.sum(err_p * pr.pose_valid)
+    return total
+
+
+def run_ba(
+    variables: Variables,
+    problem: BAProblem,
+    cam_pyr: CameraPyramid,
+    cfg,
+    update_mask: jax.Array,
+    max_iters: int | None = None,
+):
+    """Window BA: damped GN until convergence/budget. Fully jittable."""
+    iters = max_iters if max_iters is not None else cfg.max_gn_iters
+    return graph.lm_loop(
+        variables,
+        lambda v: linearize(v, problem, cam_pyr, cfg),
+        lambda v: total_error(v, problem, cam_pyr, cfg),
+        update_mask,
+        iters,
+        init_damp=cfg.gn_init_damp,
+        min_damp=cfg.gn_min_damp,
+        max_damp=cfg.gn_max_damp,
+        damp_dec=cfg.gn_damp_dec_factor,
+        damp_inc=cfg.gn_damp_inc_factor,
+    )

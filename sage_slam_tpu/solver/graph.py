@@ -1,0 +1,184 @@
+"""Batched factor-graph Gauss-Newton/LM on device.
+
+TPU-native replacement for the reference's GTSAM ISAM2 backend
+(mapper.cpp:469-612): instead of an incremental Bayes tree with serial
+per-factor linearization, every factor type is an *edge table* (padded
+arrays with a validity mask), linearized by one vmapped tensor program,
+scatter-added (SpMM-style) into a dense block Hessian over the keyframe
+window, and solved with a damped Cholesky — all inside one jit.
+
+Per-keyframe variable block (dim 23 = 6 + CS + 1):
+  [0:6] pose tangent (left-multiplicative, [trans, rot]),
+  [6:6+CS] depth code, [6+CS] scale.
+
+Design notes:
+* Dense solve: a K-keyframe window gives a (23K)^2 system; for K <= 256
+  this is well inside a single chip's HBM and the Cholesky is MXU work.
+  Multi-host partitioning shards the *edge* tables and psum's (H, b)
+  (see parallel/).
+* LM damping: multiplicative on the diagonal (H + lambda diag(H) +
+  lambda_min I), accept/reject on total graph error. The reference uses
+  ISAM2 Dogleg; we match fixed points (gradient of the same cost), not
+  the solver trajectory (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3, retract
+from .psd import nearest_psd
+
+
+class Variables(NamedTuple):
+    """SoA keyframe state: pose [K], code [K, CS], scale [K]."""
+
+    pose: SE3  # rot [K,3,3], trans [K,3]
+    code: jax.Array  # [K, CS]
+    scale: jax.Array  # [K]
+
+    @property
+    def num_kf(self) -> int:
+        return self.scale.shape[0]
+
+    @property
+    def code_size(self) -> int:
+        return self.code.shape[-1]
+
+    @property
+    def block_dim(self) -> int:
+        return 7 + self.code_size
+
+    def apply_delta(self, delta: jax.Array, update_mask: jax.Array) -> "Variables":
+        """delta [K, 23]; update_mask [K] gates frozen keyframes."""
+        cs = self.code_size
+        m = update_mask[:, None]
+        pose_delta = delta[:, :6] * m
+        new_pose = retract(self.pose, pose_delta)
+        new_code = self.code + delta[:, 6 : 6 + cs] * m
+        new_scale = self.scale + delta[:, 6 + cs] * update_mask
+        return Variables(new_pose, new_code, new_scale)
+
+
+def slot_indices(kf_idx: jax.Array, block_dim: int, sel: jax.Array) -> jax.Array:
+    """Global tangent indices for selected per-KF slots.
+
+    kf_idx [...]: keyframe index; sel [S]: slot offsets within the block.
+    Returns [..., S] int32 global indices.
+    """
+    return kf_idx[..., None] * block_dim + sel[None, :]
+
+
+def scatter_hessian(
+    h: jax.Array,  # [D, D] global Hessian (D = K * block_dim)
+    b: jax.Array,  # [D]
+    gidx: jax.Array,  # [E, S] global indices per edge
+    ata: jax.Array,  # [E, S, S]
+    atb: jax.Array,  # [E, S]
+    valid: jax.Array,  # [E] 0/1
+):
+    """Scatter-add per-edge Hessian blocks (the SpMM aggregation)."""
+    v = valid[:, None, None]
+    rows = gidx[:, :, None]  # [E, S, 1]
+    cols = gidx[:, None, :]  # [E, 1, S]
+    rows = jnp.broadcast_to(rows, ata.shape)
+    cols = jnp.broadcast_to(cols, ata.shape)
+    h = h.at[rows.reshape(-1), cols.reshape(-1)].add((ata * v).reshape(-1))
+    b = b.at[gidx.reshape(-1)].add((atb * valid[:, None]).reshape(-1))
+    return h, b
+
+
+class LMState(NamedTuple):
+    variables: Variables
+    error: jax.Array  # total graph error at `variables`
+    damping: jax.Array
+    iteration: jax.Array
+
+
+def lm_loop(
+    variables: Variables,
+    linearize_fn,  # vars -> (H [D,D], b [D], error scalar)
+    error_fn,  # vars -> error scalar
+    update_mask: jax.Array,  # [K]
+    max_iters: int,
+    init_damp: float = 1e-4,
+    min_damp: float = 1e-6,
+    max_damp: float = 1e2,
+    damp_dec: float = 10.0,
+    damp_inc: float = 10.0,
+    min_error_dec: float = 0.0,
+):
+    """Damped GN (Levenberg-Marquardt) in a lax.while_loop.
+
+    One iteration = linearize -> damped solve -> tentative retract ->
+    accept (and decrease damping) or reject (increase damping). Entirely
+    on device; no host round-trips (the reference's per-iteration
+    Eigen-solve hop, camera_tracker.cpp:1182, disappears).
+    """
+    k = variables.num_kf
+    bd = variables.block_dim
+    dim = k * bd
+    dtype = variables.scale.dtype
+
+    def cond(state: LMState):
+        return jnp.logical_and(
+            state.iteration < max_iters, state.damping <= max_damp
+        )
+
+    def body(state: LMState):
+        h, b, _ = linearize_fn(state.variables)
+        diag = jnp.diagonal(h)
+        h_damped = (
+            h
+            + jnp.diag(state.damping * diag)
+            + min_damp * jnp.eye(dim, dtype=dtype)
+        )
+        # mask out frozen keyframes: identity rows/cols, zero rhs
+        free = jnp.repeat(update_mask, bd)
+        h_masked = (
+            h_damped * free[:, None] * free[None, :]
+            + jnp.diag(1.0 - free)
+        )
+        b_masked = b * free
+        chol, low = jax.scipy.linalg.cho_factor(h_masked)
+        delta = jax.scipy.linalg.cho_solve((chol, low), b_masked)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        candidate = state.variables.apply_delta(
+            delta.reshape(k, bd), update_mask
+        )
+        new_error = error_fn(candidate)
+        accept = new_error < state.error - min_error_dec
+        next_vars = jax.tree.map(
+            lambda a, b_: jnp.where(accept, a, b_),
+            candidate,
+            state.variables,
+        )
+        next_err = jnp.where(accept, new_error, state.error)
+        next_damp = jnp.where(
+            accept,
+            jnp.maximum(state.damping / damp_dec, min_damp),
+            state.damping * damp_inc,
+        )
+        return LMState(next_vars, next_err, next_damp, state.iteration + 1)
+
+    init = LMState(
+        variables,
+        error_fn(variables),
+        jnp.asarray(init_damp, dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.variables, final.error, final.iteration
+
+
+def empty_system(num_kf: int, block_dim: int, dtype=jnp.float32):
+    dim = num_kf * block_dim
+    return jnp.zeros((dim, dim), dtype), jnp.zeros((dim,), dtype)
+
+
+def psd_correct(ata: jax.Array) -> jax.Array:
+    """Per-edge PSD projection before assembly (photometric_factor.cpp:147)."""
+    return nearest_psd(ata)
