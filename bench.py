@@ -1,0 +1,127 @@
+"""Benchmark: factor-graph edge throughput (factors/s) in global BA.
+
+Measures the steady-state rate of full factor linearization (residual +
+Jacobian + PSD-corrected Hessian block + scatter-add assembly + damped
+solve) at the reference operating point: 64x80 output resolution, CS=FS=16,
+3072 photometric samples x 4 pyramid levels per edge
+(system/configs/slam_run.flags:8-9,95-96).
+
+Baseline: the reference mapping backend targets 2 Hz (slam_run.flags:88)
+with up to `temporal_max_back_connections`=3 links/keyframe, each link
+contributing photometric+geometric factors in both directions
+(mapper.cpp:333-374) => ~2 Hz * 12 factors = 24 factors/s nominal on its
+GPU. vs_baseline = measured / 24.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from sage_slam_tpu.config import MapperConfig
+    from sage_slam_tpu.geometry.camera import CameraPyramid, PinholeCamera
+    from sage_slam_tpu.geometry.interp import locations_1d_to_homo
+    from sage_slam_tpu.geometry.se3 import SE3, se3_exp
+    from sage_slam_tpu.ops.pyramid import (
+        gaussian_pyramid_with_grad,
+        mask_pyramid,
+    )
+    from sage_slam_tpu.solver import ba
+    from sage_slam_tpu.solver.graph import Variables
+
+    # reference operating point
+    k, h, w, cs, fs, levels, n = 8, 64, 80, 16, 16, 4, 3072
+    n_photo, n_geo = 24, 24  # directed edges in the window
+
+    rng = np.random.default_rng(0)
+    cam = PinholeCamera(
+        fx=w * 1.1, fy=w * 1.1, cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+        width=w, height=h,
+    )
+    pyr = CameraPyramid.build(cam, levels)
+    feat = rng.standard_normal((fs, h, w)).astype(np.float32) * 0.3
+    mask = np.ones((h, w), np.float32)
+    masks = mask_pyramid(jnp.asarray(mask), levels)
+    fpyr, gpyr = gaussian_pyramid_with_grad(jnp.asarray(feat), masks, levels)
+    bias = np.full(h * w, 1.2, np.float32)
+    jac = (rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32)
+    loc1d = rng.choice(h * w, size=n, replace=False).astype(np.int32)
+    homo = np.array(locations_1d_to_homo(jnp.asarray(loc1d), cam))
+
+    window = ba.WindowData(
+        loc1d=jnp.tile(jnp.asarray(loc1d)[None], (k, 1)),
+        homo=jnp.tile(jnp.asarray(homo, jnp.float32)[None], (k, 1, 1)),
+        bias_flat=jnp.tile(jnp.asarray(bias)[None], (k, 1)),
+        jac_flat=jnp.tile(jnp.asarray(jac)[None], (k, 1, 1)),
+        feat_pyr=jnp.tile(fpyr[None], (k, 1, 1)),
+        grad_pyr=jnp.tile(gpyr[None], (k, 1, 1, 1)),
+        avg_sq_bias=jnp.full((k,), float(np.mean(bias**2))),
+        mask_flat=jnp.asarray(mask.reshape(-1)),
+    )
+
+    def ring_edges(count):
+        i0 = np.arange(count) % k
+        i1 = (i0 + 1 + (np.arange(count) // k)) % k
+        return ba.EdgeTable(
+            jnp.asarray(i0, jnp.int32),
+            jnp.asarray(i1, jnp.int32),
+            jnp.ones(count),
+        )
+
+    photo_edges = ring_edges(n_photo)
+    geo_edges = ring_edges(n_geo)
+    priors = ba.PriorTable(
+        code_valid=jnp.ones(k),
+        scale_valid=jnp.zeros(k).at[0].set(1.0),
+        scale_init=jnp.ones(k),
+        pose_valid=jnp.zeros(k).at[0].set(1.0),
+        pose_target=SE3.identity((k,)),
+    )
+    problem = ba.BAProblem(window, photo_edges, geo_edges, priors)
+
+    taus = (rng.standard_normal((k, 6)) * 0.01).astype(np.float32)
+    variables = Variables(
+        se3_exp(jnp.asarray(taus)), jnp.zeros((k, cs)), jnp.ones(k)
+    )
+    cfg = MapperConfig()
+    update_mask = jnp.ones(k)
+
+    step = jax.jit(
+        lambda v: ba.run_ba(v, problem, pyr, cfg, update_mask, max_iters=1)
+    )
+    out = step(variables)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(variables)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    factors_per_step = n_photo + n_geo
+    factors_per_sec = factors_per_step / dt
+    baseline = 24.0  # reference: 2 Hz mapping x ~12 factors (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "factors_per_second_global_ba",
+                "value": round(factors_per_sec, 2),
+                "unit": "factors/s",
+                "vs_baseline": round(factors_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,53 +65,46 @@ def hat(omega: jax.Array) -> jax.Array:
     return rows
 
 
-def so3_exp(omega: jax.Array) -> jax.Array:
-    """Rodrigues with the reference's normalized-axis formulation.
+def _exp_coefficients(omega: jax.Array):
+    """Smooth Rodrigues coefficients A = sin(t)/t, B = (1-cos(t))/t^2,
+    C = (t-sin(t))/t^3 as functions of t^2 = |omega|^2.
 
-    Matches gtsam_traits.h:107-137 (se3_exp): theta clamped to >=1e-14,
-    fallback axis (1,0,0) when ||omega|| == 0.
+    Mathematically identical to the reference's normalized-axis
+    formulation (gtsam_traits.h:107-137; sin(t)*hat(w/t) == A*hat(w) etc.)
+    but differentiable at omega == 0 — the reference clamps t to 1e-14
+    which is indistinguishable in float32; we use the Taylor series below
+    t^2 < 1e-8 instead so autodiff of retract at zero tangent is exact.
     """
-    dtype = omega.dtype
-    norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    safe = jnp.where(norm > 0, norm, jnp.ones_like(norm))
-    fallback = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0], dtype=dtype), omega.shape
-    )
-    axis = jnp.where(norm > 0, omega / safe, fallback)
-    theta = jnp.maximum(norm[..., 0], jnp.asarray(_THETA_MIN, dtype))
+    t2 = jnp.sum(omega**2, axis=-1)
+    small = t2 < 1e-8
+    # guard sqrt for differentiability at 0
+    t = jnp.sqrt(jnp.where(small, jnp.ones_like(t2), t2))
+    st, ct = jnp.sin(t), jnp.cos(t)
+    safe_t2 = jnp.where(small, jnp.ones_like(t2), t2)
+    a = jnp.where(small, 1.0 - t2 / 6.0, st / t)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - ct) / safe_t2)
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (t - st) / (safe_t2 * t))
+    return a, b, c
 
-    st = jnp.sin(theta)[..., None, None]
-    ct = jnp.cos(theta)[..., None, None]
-    k = hat(axis)
+
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rodrigues: matches the reference exp (gtsam_traits.h:107-137)."""
+    a, b, _ = _exp_coefficients(omega)
+    k = hat(omega)
     k2 = k @ k
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), k.shape)
-    return eye + st * k + (1.0 - ct) * k2
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), k.shape)
+    return eye + a[..., None, None] * k + b[..., None, None] * k2
 
 
 def se3_exp(tau: jax.Array) -> SE3:
     """Exp of tangent [trans(3), rot(3)] -> SE3 (gtsam_traits.h:107-137)."""
     v, omega = tau[..., :3], tau[..., 3:6]
-    dtype = tau.dtype
-    norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    safe = jnp.where(norm > 0, norm, jnp.ones_like(norm))
-    fallback = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0], dtype=dtype), omega.shape
-    )
-    axis = jnp.where(norm > 0, omega / safe, fallback)
-    theta = jnp.maximum(norm[..., 0], jnp.asarray(_THETA_MIN, dtype))
-
-    st = jnp.sin(theta)
-    ct = jnp.cos(theta)
-    k = hat(axis)
+    a, b, c = _exp_coefficients(omega)
+    k = hat(omega)
     k2 = k @ k
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), k.shape)
-
-    rot = eye + st[..., None, None] * k + (1.0 - ct)[..., None, None] * k2
-    big_v = (
-        eye
-        + ((1.0 - ct) / theta)[..., None, None] * k
-        + ((theta - st) / theta)[..., None, None] * k2
-    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), k.shape)
+    rot = eye + a[..., None, None] * k + b[..., None, None] * k2
+    big_v = eye + b[..., None, None] * k + c[..., None, None] * k2
     trans = jnp.einsum("...ij,...j->...i", big_v, v)
     return SE3(rot, trans)
 
@@ -124,7 +117,11 @@ def so3_log(rot: jax.Array) -> jax.Array:
     """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # near theta=0 use the smooth series in (3 - trace) ~ theta^2 so the
+    # whole map is differentiable (arccos' grad blows up at cos=1)
+    small = cos_theta > 1.0 - 1e-6
+    theta = jnp.arccos(jnp.where(small, jnp.zeros_like(cos_theta), cos_theta))
+    theta = jnp.where(small, jnp.sqrt(jnp.maximum(3.0 - trace, 0.0)), theta)
     # vee of the antisymmetric part
     w = jnp.stack(
         [
@@ -136,10 +133,10 @@ def so3_log(rot: jax.Array) -> jax.Array:
     )
     sin_theta = jnp.sin(theta)
     # theta / (2 sin theta), safe at theta -> 0 (limit 1/2)
-    small = jnp.abs(sin_theta) < 1e-6
+    theta_sq_small = 3.0 - trace  # ~ theta^2, smooth in R
     factor = jnp.where(
         small,
-        0.5 + theta**2 / 12.0,
+        0.5 + theta_sq_small / 12.0,
         theta / jnp.where(small, jnp.ones_like(sin_theta), 2.0 * sin_theta),
     )
     omega = factor[..., None] * w
@@ -151,7 +148,7 @@ def so3_log(rot: jax.Array) -> jax.Array:
         diag = jnp.stack(
             [rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1
         )
-        axis_sq = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
+        axis_sq = jnp.clip((diag + 1.0) * 0.5, 1e-12, 1.0)
         axis = jnp.sqrt(axis_sq)
         # fix signs using off-diagonal sums
         sx = jnp.where(rot[..., 2, 1] - rot[..., 1, 2] < 0, -1.0, 1.0)

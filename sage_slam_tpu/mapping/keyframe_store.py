@@ -1,0 +1,183 @@
+"""Keyframe store — fixed-capacity struct-of-arrays on device.
+
+TPU-native replacement for the reference's pointer-based Frame/Keyframe/
+FrameGraph (frame.h:100-124, keyframe_map.h:16-120): every per-keyframe
+tensor lives in one stacked, padded device array with a leading keyframe
+axis, so the whole window is directly consumable by the batched BA edge
+kernels without gather-from-host. Graph topology (links, flags) stays on
+host — it is tiny and mutates per keyframe, not per iteration.
+
+A functional update discipline replaces the reference's per-keyframe
+shared_mutex: BA returns new Variables which are written back wholesale;
+loop closures bump `reinitialize_count` exactly like the reference's
+reconciliation protocol (frame.h:124, mapper.cpp:1164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.se3 import SE3
+from ..solver.ba import WindowData
+from ..solver.graph import Variables
+
+
+@dataclasses.dataclass
+class FrameData:
+    """Per-frame tensors produced by BuildFrame (mapper.cpp:1184-1255)."""
+
+    timestamp: float
+    bias_flat: jax.Array  # [HW]
+    jac_flat: jax.Array  # [HW, CS]
+    feat_pyr: jax.Array  # [C, T]
+    grad_pyr: jax.Array  # [2, C, T]
+    feat_desc_flat: jax.Array  # [HW, C]
+    loc1d: jax.Array  # [N] sampled photometric pixels
+    homo: jax.Array  # [N, 3]
+    avg_sq_bias: float
+    pose: SE3
+    code: jax.Array  # [CS]
+    scale: float
+
+
+class KeyframeStore:
+    def __init__(
+        self,
+        capacity: int,
+        num_samples: int,
+        hw: int,
+        cs: int,
+        fs: int,
+        total_pyr: int,
+        dtype=jnp.float32,
+    ):
+        self.capacity = capacity
+        self.num_active = 0
+        k = capacity
+        self.variables = Variables(
+            pose=SE3.identity((k,), dtype),
+            code=jnp.zeros((k, cs), dtype),
+            scale=jnp.ones((k,), dtype),
+        )
+        self.loc1d = jnp.zeros((k, num_samples), jnp.int32)
+        self.homo = jnp.zeros((k, num_samples, 3), dtype)
+        self.bias_flat = jnp.zeros((k, hw), dtype)
+        self.jac_flat = jnp.zeros((k, hw, cs), dtype)
+        self.feat_pyr = jnp.zeros((k, fs, total_pyr), dtype)
+        self.grad_pyr = jnp.zeros((k, 2, fs, total_pyr), dtype)
+        self.feat_desc = jnp.zeros((k, hw, fs), dtype)
+        self.avg_sq_bias = jnp.zeros((k,), dtype)
+        # host-side metadata
+        self.timestamps: List[float] = []
+        self.reinitialize_count = np.zeros(k, np.int32)
+        self.links: Dict[int, Set[int]] = {}
+        self.global_loop_links: Set[tuple] = set()
+        self.local_loop_searched = np.zeros(k, bool)
+        self.global_loop_searched = np.zeros(k, bool)
+
+    def add(self, fr: FrameData) -> int:
+        """Append a keyframe; returns its id (= row index)."""
+        i = self.num_active
+        if i >= self.capacity:
+            raise RuntimeError("keyframe store capacity exceeded")
+        self.variables = Variables(
+            pose=SE3(
+                self.variables.pose.rot.at[i].set(fr.pose.rot),
+                self.variables.pose.trans.at[i].set(fr.pose.trans),
+            ),
+            code=self.variables.code.at[i].set(fr.code),
+            scale=self.variables.scale.at[i].set(fr.scale),
+        )
+        self.loc1d = self.loc1d.at[i].set(fr.loc1d)
+        self.homo = self.homo.at[i].set(fr.homo)
+        self.bias_flat = self.bias_flat.at[i].set(fr.bias_flat)
+        self.jac_flat = self.jac_flat.at[i].set(fr.jac_flat)
+        self.feat_pyr = self.feat_pyr.at[i].set(fr.feat_pyr)
+        self.grad_pyr = self.grad_pyr.at[i].set(fr.grad_pyr)
+        self.feat_desc = self.feat_desc.at[i].set(fr.feat_desc_flat)
+        self.avg_sq_bias = self.avg_sq_bias.at[i].set(fr.avg_sq_bias)
+        self.timestamps.append(fr.timestamp)
+        self.links[i] = set()
+        self.num_active += 1
+        return i
+
+    def add_link(self, a: int, b: int, global_loop: bool = False):
+        """Undirected link (keyframe_map.h:16-90)."""
+        self.links.setdefault(a, set()).add(b)
+        self.links.setdefault(b, set()).add(a)
+        if global_loop:
+            self.global_loop_links.add((min(a, b), max(a, b)))
+
+    def link_exists(self, a: int, b: int) -> bool:
+        return b in self.links.get(a, set())
+
+    def connections(self, a: int, temporal_only: bool = False):
+        out = sorted(self.links.get(a, set()))
+        if temporal_only:
+            out = [
+                b
+                for b in out
+                if (min(a, b), max(a, b)) not in self.global_loop_links
+            ]
+        return out
+
+    def window_data(self, mask_flat: jax.Array) -> WindowData:
+        return WindowData(
+            loc1d=self.loc1d,
+            homo=self.homo,
+            bias_flat=self.bias_flat,
+            jac_flat=self.jac_flat,
+            feat_pyr=self.feat_pyr,
+            grad_pyr=self.grad_pyr,
+            avg_sq_bias=self.avg_sq_bias,
+            mask_flat=mask_flat,
+        )
+
+    def set_variables(self, variables: Variables, skip_reinitialized=True):
+        """Write BA estimates back (UpdateMap, mapper.cpp:1141-1180).
+
+        Keyframes with reinitialize_count > 0 keep their loop-closure
+        values (mapper.cpp:1164)."""
+        if skip_reinitialized and self.reinitialize_count.any():
+            keep = jnp.asarray(
+                (self.reinitialize_count > 0).astype(np.float32)
+            )[:, None]
+            keep3 = keep[..., None]
+            merged = Variables(
+                pose=SE3(
+                    jnp.where(
+                        keep3, self.variables.pose.rot, variables.pose.rot
+                    ),
+                    jnp.where(
+                        keep, self.variables.pose.trans, variables.pose.trans
+                    ),
+                ),
+                code=jnp.where(keep, self.variables.code, variables.code),
+                scale=jnp.where(
+                    keep[:, 0], self.variables.scale, variables.scale
+                ),
+            )
+            self.variables = merged
+        else:
+            self.variables = variables
+
+    def pose(self, i: int) -> SE3:
+        return SE3(
+            self.variables.pose.rot[i], self.variables.pose.trans[i]
+        )
+
+    def depth_map(self, i: int) -> jax.Array:
+        """Decoded scaled depth of keyframe i (mapping_utils.h:216-222)."""
+        from ..ops.depth import decode_depth
+
+        return decode_depth(
+            self.bias_flat[i],
+            self.jac_flat[i],
+            self.variables.code[i],
+            self.variables.scale[i],
+        )

@@ -1,0 +1,417 @@
+"""Mapper — keyframe lifecycle + windowed BA (the ISAM2 replacement).
+
+Host-side orchestration over jitted device programs, mirroring
+Mapper (mapper.cpp):
+
+* build_frame: feature/depth network inference, Gaussian feature pyramid
+  with gradients, seeded random photometric sampling, avg squared depth
+  bias (mapper.cpp:1184-1255),
+* init_one_frame: median-depth normalization + pose/scale/code priors
+  (mapper.cpp:166-198),
+* enqueue_keyframe: depth-scale correction vs the first back-connection
+  (mapper.cpp:237-309) and photometric(+reproj)+geometric factors in both
+  directions per connection (mapper.cpp:313-389),
+* enqueue_link: loop-closure links — photo both ways, reprojection both
+  ways when match_geom is set (the reference's EnqueueLink builds
+  OptimizeRep work for its match_geom flag, mapper.cpp:420-435), geo both
+  ways (mapper.cpp:392-453),
+* mapping_step: one windowed damped-GN solve over the padded edge tables
+  (replaces ISAM2::update; SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import interp
+from ..geometry.camera import CameraPyramid
+from ..geometry.se3 import SE3
+from ..models import depth_network, feature_network
+from ..ops import reprojection as rp_ops
+from ..ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
+from ..solver import ba
+from ..solver.graph import Variables
+from ..tracker import matcher, robust
+from .keyframe_store import FrameData, KeyframeStore
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, -(-n // m) * m)
+
+
+class Mapper:
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        cam_pyr: CameraPyramid,
+        video_mask: jax.Array,  # [h, w] output-resolution mask
+        depth_params,
+        feat_params,
+        depth_cfg=None,
+        feat_cfg=None,
+    ):
+        self.cfg = cfg
+        self.cam_pyr = cam_pyr
+        self.mask = video_mask
+        self.mask_flat = video_mask.reshape(-1)
+        self.depth_params = depth_params
+        self.feat_params = feat_params
+        self.depth_cfg = depth_cfg or depth_network.DepthNetConfig(
+            basis_inner=((128, 128, cfg.code_size),)
+        )
+        self.feat_cfg = feat_cfg or feature_network.FeatureNetConfig()
+
+        h, w = video_mask.shape
+        self.store = KeyframeStore(
+            capacity=cfg.max_keyframes,
+            num_samples=cfg.mapper.pho_num_samples,
+            hw=h * w,
+            cs=cfg.code_size,
+            fs=cfg.feat_size,
+            total_pyr=cam_pyr.total_pixels,
+        )
+        # valid pixel ids of the static mask (GenerateValidLocations)
+        valid = np.flatnonzero(np.array(video_mask).reshape(-1) > 0.5)
+        self.valid_loc1d = jnp.asarray(valid.astype(np.int32))
+        self.masks_pyr = mask_pyramid(video_mask, cam_pyr.levels)
+
+        # host-side edge lists: (i0, i1)
+        self.photo_edges: List[Tuple[int, int]] = []
+        self.geo_edges: List[Tuple[int, int]] = []
+        self.reproj_edges: List[dict] = []  # {i0, i1, match arrays, weight}
+
+        self._build_frame_jit = jax.jit(self._build_frame_device)
+        self._match_jit = jax.jit(self._build_matches_device)
+        self._ba_cache = {}
+
+    # ------------------------------------------------------------------
+    # frame construction
+
+    def _build_frame_device(self, image, key):
+        """image [3, H, W] (input res). Returns device tensors."""
+        in_mask = jnp.ones((1,) + image.shape[1:], image.dtype)
+        fmap, fdesc = feature_network.apply(
+            self.feat_params, image, in_mask, self.feat_cfg
+        )
+        bias, basis = depth_network.apply(
+            self.depth_params, image, in_mask, self.depth_cfg
+        )
+        cs = basis.shape[0]
+        bias_flat = bias.reshape(-1)
+        jac_flat = basis.reshape(cs, -1).T
+
+        feat_pyr, grad_pyr = gaussian_pyramid_with_grad(
+            fmap, self.masks_pyr, self.cam_pyr.levels
+        )
+        # seeded random photometric sampling (mapper.cpp:1222-1237)
+        n = self.cfg.mapper.pho_num_samples
+        perm = jax.random.permutation(key, self.valid_loc1d.shape[0])
+        loc1d = jnp.take(self.valid_loc1d, perm[:n])
+        homo = interp.locations_1d_to_homo(loc1d, self.cam_pyr[0])
+
+        avg_sq = jnp.sum((bias_flat * self.mask_flat) ** 2) / jnp.sum(
+            self.mask_flat
+        )
+        c = fdesc.shape[0]
+        return (
+            bias_flat,
+            jac_flat,
+            feat_pyr,
+            grad_pyr,
+            fdesc.reshape(c, -1).T,
+            loc1d,
+            homo,
+            avg_sq,
+        )
+
+    def build_frame(
+        self, timestamp: float, image: jax.Array, pose: Optional[SE3] = None
+    ) -> FrameData:
+        key = jax.random.key(int(timestamp * 1e6) & 0x7FFFFFFF)
+        (
+            bias_flat, jac_flat, feat_pyr, grad_pyr, desc, loc1d, homo, avg_sq
+        ) = self._build_frame_jit(image, key)
+        return FrameData(
+            timestamp=timestamp,
+            bias_flat=bias_flat,
+            jac_flat=jac_flat,
+            feat_pyr=feat_pyr,
+            grad_pyr=grad_pyr,
+            feat_desc_flat=desc,
+            loc1d=loc1d,
+            homo=homo,
+            avg_sq_bias=float(avg_sq),
+            pose=pose if pose is not None else SE3.identity(),
+            code=jnp.zeros(self.cfg.code_size),
+            scale=1.0,
+        )
+
+    # ------------------------------------------------------------------
+    # keyframe lifecycle
+
+    def init_one_frame(self, timestamp: float, image: jax.Array) -> int:
+        """Bootstrap the map from one frame (mapper.cpp:166-198)."""
+        fr = self.build_frame(timestamp, image)
+        depth = fr.scale * (
+            jnp.take(fr.bias_flat, self.valid_loc1d)
+            + jnp.take(fr.jac_flat, self.valid_loc1d, axis=0) @ fr.code
+        )
+        median = float(jnp.median(depth))
+        fr.scale = fr.scale / median
+        kf_id = self.store.add(fr)
+        self._init_scale_target = {kf_id: fr.scale}
+        self._pose_anchor = kf_id
+        return kf_id
+
+    def correct_depth_scale(self, fr: FrameData, ref_id: int) -> float:
+        """Set the new keyframe's scale so its unscaled depth agrees with
+        the reference keyframe (CorrectDepthScale, mapper.cpp:237-309 /
+        mapping_utils.h:796-865): median over valid warped points of
+        z_in_new / bias_new(warp)."""
+        cam = self.cam_pyr[0]
+        ref_pose = self.store.pose(ref_id)
+        rel = _relative(fr.pose, ref_pose)  # new_from_ref
+        ref_depth = self.store.depth_map(ref_id)
+        d0 = jnp.take(ref_depth, self.valid_loc1d)
+        homo0 = interp.locations_1d_to_homo(self.valid_loc1d, cam)
+        rh = homo0 @ rel.rot.T
+        x1 = d0[:, None] * rh + rel.trans
+        pos = x1[:, 2] > self.cfg.mapper.dpt_eps
+        u = x1[:, 0] / x1[:, 2] * cam.fx + cam.cx
+        v = x1[:, 1] / x1[:, 2] * cam.fy + cam.cy
+        bias1 = interp.bilinear_flat(
+            fr.bias_flat[None], u, v, cam.width, cam.height
+        )[0]
+        within = interp.nearest_flat(
+            self.mask_flat, u, v, cam.width, cam.height
+        )
+        valid = (within > 0.5) & pos & (jnp.abs(bias1) > 1e-8)
+        ratios = jnp.where(valid, x1[:, 2] / jnp.where(valid, bias1, 1.0), jnp.nan)
+        ratios_np = np.array(ratios)
+        ratios_np = ratios_np[np.isfinite(ratios_np)]
+        if len(ratios_np) == 0:
+            return fr.scale
+        return float(np.median(ratios_np))
+
+    def enqueue_keyframe(
+        self, fr: FrameData, back_connections: List[int]
+    ) -> int:
+        """Add a keyframe + factors to its connections
+        (EnqueueKeyframe, mapper.cpp:313-389)."""
+        if back_connections:
+            fr.scale = self.correct_depth_scale(fr, back_connections[0])
+        kf_id = self.store.add(fr)
+        m = self.cfg.mapper
+        for conn in back_connections:
+            if m.use_photometric:
+                self.photo_edges += [(kf_id, conn), (conn, kf_id)]
+            if m.use_reprojection:
+                self._add_reproj_edge(kf_id, conn)
+                self._add_reproj_edge(conn, kf_id)
+            if m.use_geometric:
+                self.geo_edges += [(kf_id, conn), (conn, kf_id)]
+            self.store.add_link(kf_id, conn)
+        return kf_id
+
+    def enqueue_link(
+        self,
+        id0: int,
+        id1: int,
+        photo: bool,
+        match_geom: bool,
+        geo: bool,
+        global_loop: bool = False,
+    ):
+        """Loop-closure link (EnqueueLink, mapper.cpp:392-453). The
+        reference's match_geom flag adds *reprojection* factors."""
+        if photo:
+            self.photo_edges += [(id0, id1), (id1, id0)]
+        if match_geom:
+            self._add_reproj_edge(id0, id1)
+            self._add_reproj_edge(id1, id0)
+        if geo:
+            self.geo_edges += [(id0, id1), (id1, id0)]
+        self.store.add_link(id0, id1, global_loop)
+
+    # ------------------------------------------------------------------
+    # reprojection match construction (reprojection_factor.cpp:30-193)
+
+    def _build_matches_device(self, desc0, desc1, bias1_flat, key):
+        cam = self.cam_pyr[0]
+        kps = matcher.select_keypoints(
+            key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
+        )
+        m = matcher.cycle_consistent_matches(
+            kps, desc0, desc1, cam.width, cyc_consis_thresh=2.0
+        )
+        homo0, homo1 = matcher.matches_to_points(m, cam)
+        bias0 = jnp.take(desc0[:, :1] * 0, m.loc1d_0)  # placeholder
+        # 3D points from the UNSCALED depth bias (reprojection_factor.cpp:124)
+        d1 = jnp.take(bias1_flat, m.loc1d_1)
+        return m, homo0, homo1, d1
+
+    def _add_reproj_edge(self, i0: int, i1: int):
+        cam = self.cam_pyr[0]
+        key = jax.random.key((i0 * max(self.store.num_active, 1) + i1) & 0x7FFFFFFF)
+        desc0 = self.store.feat_desc[i0]
+        desc1 = self.store.feat_desc[i1]
+        kps = matcher.select_keypoints(
+            key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
+        )
+        m = matcher.cycle_consistent_matches(
+            kps, desc0, desc1, cam.width, cyc_consis_thresh=2.0
+        )
+        homo0, homo1 = matcher.matches_to_points(m, cam)
+        bias0 = jnp.take(self.store.bias_flat[i0], m.loc1d_0)
+        bias1 = jnp.take(self.store.bias_flat[i1], m.loc1d_1)
+        src = bias0[:, None] * homo0
+        dst = bias1[:, None] * homo1
+        focal = (cam.fx + cam.fy) / 2.0
+        inliers = robust.translation_inlier_filter(
+            src, dst, bias1, focal, m.valid,
+            noise_bound_multiplier=self.cfg.tracker.teaser_noise_bound_multiplier,
+        )
+        k = self.cfg.mapper.desc_num_keypoints
+        inlier_ratio = float(jnp.sum(inliers)) / k
+        x1, y1 = interp.locations_1d_to_2d(m.loc1d_1, cam.width)
+        self.reproj_edges.append(
+            dict(
+                i0=i0,
+                i1=i1,
+                loc1d_0=m.loc1d_0,
+                homo_0=homo0,
+                matched_2d_1=jnp.stack([x1, y1], axis=-1),
+                match_valid=inliers,
+                weight=inlier_ratio * self.cfg.mapper.reproj_factor_weight,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # the mapping step
+
+    def _edge_table(self, edges: List[Tuple[int, int]], pad: int):
+        e = len(edges)
+        cap = _round_up(e, pad)
+        i0 = np.zeros(cap, np.int32)
+        i1 = np.zeros(cap, np.int32)
+        val = np.zeros(cap, np.float32)
+        for n, (a, b) in enumerate(edges):
+            i0[n], i1[n], val[n] = a, b, 1.0
+        return ba.EdgeTable(jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(val))
+
+    def _reproj_table(self, pad: int):
+        m = self.cfg.mapper.desc_num_keypoints
+        if not self.reproj_edges:
+            return ba.ReprojEdgeTable.empty(m)
+        e = len(self.reproj_edges)
+        cap = _round_up(e, pad)
+
+        def stack(key, shape, dtype=np.float32):
+            out = np.zeros((cap,) + shape, dtype)
+            for n, ed in enumerate(self.reproj_edges):
+                out[n] = np.array(ed[key])
+            return jnp.asarray(out)
+
+        i0 = np.zeros(cap, np.int32)
+        i1 = np.zeros(cap, np.int32)
+        val = np.zeros(cap, np.float32)
+        wgt = np.zeros(cap, np.float32)
+        for n, ed in enumerate(self.reproj_edges):
+            i0[n], i1[n], val[n], wgt[n] = ed["i0"], ed["i1"], 1.0, ed["weight"]
+        return ba.ReprojEdgeTable(
+            i0=jnp.asarray(i0),
+            i1=jnp.asarray(i1),
+            valid=jnp.asarray(val),
+            loc1d_0=stack("loc1d_0", (m,), np.int32),
+            homo_0=stack("homo_0", (m, 3)),
+            matched_2d_1=stack("matched_2d_1", (m, 2)),
+            match_valid=stack("match_valid", (m,)),
+            weight=jnp.asarray(wgt),
+        )
+
+    def build_problem(self) -> ba.BAProblem:
+        k = self.store.capacity
+        scale_valid = np.zeros(k, np.float32)
+        scale_init = np.ones(k, np.float32)
+        pose_valid = np.zeros(k, np.float32)
+        if hasattr(self, "_init_scale_target"):
+            for kf_id, s in self._init_scale_target.items():
+                scale_valid[kf_id] = 1.0
+                scale_init[kf_id] = s
+        if hasattr(self, "_pose_anchor"):
+            pose_valid[self._pose_anchor] = 1.0
+        code_valid = np.zeros(k, np.float32)
+        code_valid[: self.store.num_active] = 1.0
+        priors = ba.PriorTable(
+            code_valid=jnp.asarray(code_valid),
+            scale_valid=jnp.asarray(scale_valid),
+            scale_init=jnp.asarray(scale_init),
+            pose_valid=jnp.asarray(pose_valid),
+            pose_target=SE3.identity((k,)),
+        )
+        return ba.BAProblem(
+            window=self.store.window_data(self.mask_flat),
+            photo_edges=self._edge_table(self.photo_edges, 16),
+            geo_edges=self._edge_table(self.geo_edges, 16),
+            priors=priors,
+            reproj_edges=self._reproj_table(4),
+        )
+
+    def mapping_step(self, max_iters: Optional[int] = None) -> float:
+        """One windowed BA solve + write-back (MappingStep,
+        mapper.cpp:469-612). Returns the final graph error."""
+        if self.store.num_active < 2:
+            return 0.0
+        problem = self.build_problem()
+        k = self.store.capacity
+        active = np.zeros(k, np.float32)
+        w = self.cfg.mapper.window_size
+        lo = max(0, self.store.num_active - w)
+        active[lo : self.store.num_active] = 1.0
+        # keyframes reinitialized by a loop closure are frozen for BA until
+        # the loop values are absorbed (df_work.cpp:62-69 analog)
+        active[self.store.reinitialize_count > 0] = 0.0
+        update_mask = jnp.asarray(active)
+
+        shapes = (
+            problem.photo_edges.i0.shape[0],
+            problem.geo_edges.i0.shape[0],
+            problem.reproj_edges.i0.shape[0],
+        )
+        fn = self._ba_cache.get(shapes)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    ba.run_ba,
+                    cam_pyr=self.cam_pyr,
+                    cfg=self.cfg.mapper,
+                )
+            )
+            self._ba_cache[shapes] = fn
+        variables, err, iters = fn(
+            self.store.variables,
+            problem,
+            update_mask=update_mask,
+            max_iters=max_iters or self.cfg.mapper.max_gn_iters,
+        )
+        self.store.set_variables(variables)
+        # loop-closure reconciliation: once a reinitialized keyframe has
+        # been held for a step, release it (reference clears when no
+        # pending loops, mapper.cpp:554-573)
+        self.store.reinitialize_count = np.maximum(
+            self.store.reinitialize_count - 1, 0
+        )
+        return float(err)
+
+
+def _relative(pose_a: SE3, pose_b: SE3) -> SE3:
+    """b expressed in a: a^-1 b."""
+    from ..geometry import se3 as se3m
+
+    return se3m.compose(se3m.inverse(pose_a), pose_b)

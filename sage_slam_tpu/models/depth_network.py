@@ -1,0 +1,148 @@
+"""DepthNet — partial-conv U-Net producing depth bias + code basis.
+
+Architecture from representation/models/depth_network.py with the
+training.json hyperparameters: in=3 channels, 1 pre-down step, filters
+[8,16,32,64,128], bottleneck 128, bias head [64,64,1] (linear), basis
+hierarchy [[128,128,16]] (linear) => output (bias [1,h,w],
+basis [CS,h,w]) at half the input resolution (128x160 -> 64x80).
+
+The basis tensor IS dpt_jac_code: depth = scale * (bias + basis . code)
+(code_depth_network.cpp:24-42 reshapes basis to [H*W, CS])."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import partial_unet as pu
+
+
+class DepthNetConfig(NamedTuple):
+    in_channels: int = 3
+    num_pre_steps: int = 1
+    filter_list: Sequence[int] = (8, 16, 32, 64, 128)
+    bottleneck: int = 128
+    bias_inner: Sequence[int] = (64, 64, 1)
+    basis_inner: Sequence[Sequence[int]] = ((128, 128, 16),)
+    bias_out_activation: str = "linear"
+    basis_out_activation: str = "linear"
+    group_size: int = 4
+
+
+def init_params(key, cfg: DepthNetConfig = DepthNetConfig()):
+    pre_filters = list(cfg.filter_list[: cfg.num_pre_steps])
+    inner_filters = list(cfg.filter_list[cfg.num_pre_steps :])
+    enc_pre = [cfg.in_channels] + pre_filters
+    enc = [enc_pre[-1]] + inner_filters
+    dec = [cfg.bottleneck] + list(reversed(inner_filters))
+
+    keys = iter(jax.random.split(key, 64))
+    params = {
+        "pre_down_convs": [
+            pu.init_two_conv_block(next(keys), enc_pre[i], enc_pre[i + 1])
+            for i in range(len(enc_pre) - 1)
+        ],
+        "down_convs": [
+            pu.init_two_conv_block(next(keys), enc[i], enc[i + 1])
+            for i in range(len(enc) - 1)
+        ],
+        "bottle_neck": pu.init_two_conv_block(next(keys), enc[-1], cfg.bottleneck),
+        "up_convs": [
+            pu.init_two_conv_block(
+                next(keys), dec[i] + enc[-i - 1], dec[i + 1]
+            )
+            for i in range(len(dec) - 1)
+        ],
+        "dpt_bias_convs": [],
+        "dpt_basis_convs_hierarchy": {},
+    }
+    bias_filters = [dec[-1]] + list(cfg.bias_inner)
+    for i in range(len(bias_filters) - 1):
+        params["dpt_bias_convs"].append(
+            pu.init_two_conv_block(next(keys), bias_filters[i], bias_filters[i + 1])
+        )
+    for bid, basis_inner in enumerate(cfg.basis_inner):
+        basis_filters = [dec[-1]] + list(basis_inner)
+        params["dpt_basis_convs_hierarchy"][f"basis_{bid}"] = [
+            pu.init_two_conv_block(
+                next(keys), basis_filters[i], basis_filters[i + 1]
+            )
+            for i in range(len(basis_filters) - 1)
+        ]
+    return params
+
+
+def _unet_trunk(params, x, mask, cfg):
+    """Shared encoder/decoder trunk (depth_network.py:142-161).
+    Returns (decoder output, full-res-after-pre mask)."""
+    for p in params["pre_down_convs"]:
+        x, _, mask = pu.down_conv(p, x, mask, cfg.group_size)
+
+    encoder_outs = []
+    encoder_masks = []
+    for p in params["down_convs"]:
+        encoder_masks.append(mask)
+        x, pre_pool, mask = pu.down_conv(p, x, mask, cfg.group_size)
+        encoder_outs.append(pre_pool)
+
+    x, mask = pu.block(params["bottle_neck"], x, mask, "relu", cfg.group_size)
+
+    for i, p in enumerate(params["up_convs"]):
+        enc_out = encoder_outs[-(i + 1)]
+        mask = encoder_masks[-(i + 1)]
+        x, mask = pu.up_conv(p, enc_out, x, mask, cfg.group_size)
+    return x, encoder_masks[0]
+
+
+def apply(params, image: jax.Array, mask: jax.Array, cfg: DepthNetConfig = DepthNetConfig()):
+    """image [3, H, W], mask [1, H, W] -> (bias [1, h, w], basis [CS, h, w])
+    with (h, w) = (H, W) / 2^num_pre_steps (depth_network.py:142-177)."""
+    x, mask0 = _unet_trunk(params, image, mask, cfg)
+
+    basis_outs = []
+    for key in sorted(params["dpt_basis_convs_hierarchy"].keys()):
+        convs = params["dpt_basis_convs_hierarchy"][key]
+        bid = int(key.split("_")[1])
+        pool_factor = 2**bid
+        b, m = x, mask0
+        for i, p in enumerate(convs):
+            if i == 0:
+                # PartialDownConvNoPre: conv-GN-relu, conv-relu, opt pool
+                out_c = p["conv1"]["weight"].shape[0]
+                b, m = pu.partial_conv(p["conv1"], b, m)
+                b = jax.nn.relu(
+                    pu.group_norm(
+                        p["bn"], b, max(1, out_c // cfg.group_size)
+                    )
+                )
+                b, m = pu.partial_conv(p["conv2"], b, m)
+                b = jax.nn.relu(b)
+                if pool_factor > 1:
+                    b = pu.max_pool2(b, pool_factor)
+                    m = pu.max_pool2(m, pool_factor)
+            elif i == len(convs) - 1:
+                b, m = pu.block(p, b, m, cfg.basis_out_activation, cfg.group_size)
+            else:
+                b, m = pu.block(p, b, m, "relu", cfg.group_size)
+        basis_outs.append(b)
+
+    bias, m = x, mask0
+    for i, p in enumerate(params["dpt_bias_convs"]):
+        act = (
+            cfg.bias_out_activation
+            if i == len(params["dpt_bias_convs"]) - 1
+            else "relu"
+        )
+        bias, m = pu.block(p, bias, m, act, cfg.group_size)
+
+    return bias, jnp.concatenate(basis_outs, axis=0)
+
+
+def bias_and_jacobian(params, image, mask, cfg: DepthNetConfig = DepthNetConfig()):
+    """The runtime interface (code_depth_network.cpp:24-42):
+    returns (bias_flat [hw], dpt_jac_code [hw, CS])."""
+    bias, basis = apply(params, image, mask, cfg)
+    cs = basis.shape[0]
+    return bias.reshape(-1), basis.reshape(cs, -1).T

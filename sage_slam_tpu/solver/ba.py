@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..geometry.camera import CameraPyramid
 from ..geometry.se3 import SE3
 from ..ops import geometric, photometric, priors
+from ..ops import reprojection as rp_ops
 from . import graph
 from .graph import Variables
 
@@ -48,6 +49,30 @@ class EdgeTable(NamedTuple):
     valid: jax.Array  # [E] float 0/1
 
 
+class ReprojEdgeTable(NamedTuple):
+    """Reprojection edges with their precomputed match sets (the
+    reference builds matches in the factor ctor,
+    reprojection_factor.cpp:30-193). Padded: E edges x M matches."""
+
+    i0: jax.Array  # [E]
+    i1: jax.Array  # [E]
+    valid: jax.Array  # [E]
+    loc1d_0: jax.Array  # [E, M]
+    homo_0: jax.Array  # [E, M, 3]
+    matched_2d_1: jax.Array  # [E, M, 2]
+    match_valid: jax.Array  # [E, M]
+    weight: jax.Array  # [E] inlier_multiplier * factor_weight
+
+    @staticmethod
+    def empty(m: int, dtype=jnp.float32) -> "ReprojEdgeTable":
+        z = jnp.zeros((0,), jnp.int32)
+        return ReprojEdgeTable(
+            z, z, jnp.zeros((0,), dtype), jnp.zeros((0, m), jnp.int32),
+            jnp.zeros((0, m, 3), dtype), jnp.zeros((0, m, 2), dtype),
+            jnp.zeros((0, m), dtype), jnp.zeros((0,), dtype),
+        )
+
+
 class PriorTable(NamedTuple):
     """Per-keyframe priors (mapper.cpp:188-196, df_work.cpp:24-34)."""
 
@@ -63,6 +88,7 @@ class BAProblem(NamedTuple):
     photo_edges: EdgeTable
     geo_edges: EdgeTable
     priors: PriorTable
+    reproj_edges: ReprojEdgeTable | None = None
 
 
 def _gather_photo_inputs(window: WindowData, e: EdgeTable):
@@ -197,6 +223,45 @@ def linearize(
         h, b = graph.scatter_hessian(h, b, gidx, ata, atb, ge.valid)
         total_err = total_err + jnp.sum(err * ge.valid)
 
+    # ---- reprojection edges: vars (p0, p1, c0, s0), dim 13+CS ----
+    re = problem.reproj_edges
+    if re is not None and re.i0.shape[0] > 0:
+        rep_loss_param = cfg.reproj_loss_param_factor * float(
+            cam_pyr[0].width
+        ) ** 2  # mapper.cpp:357
+
+        def rp_one(p0, p1, c0, s0, bias0, jac0, matches, w):
+            return rp_ops.reprojection_jac_error(
+                p0, p1, c0, s0, bias0, jac0, matches, cam_pyr[0], w,
+                rep_loss_param, cfg.dpt_eps,
+            )
+
+        ata, atb, err, _ = jax.vmap(rp_one)(
+            _edge_vars(variables, re.i0),
+            _edge_vars(variables, re.i1),
+            variables.code[re.i0],
+            variables.scale[re.i0],
+            problem.window.bias_flat[re.i0],
+            problem.window.jac_flat[re.i0],
+            rp_ops.ReprojMatchSet(
+                re.loc1d_0, re.homo_0, re.matched_2d_1, re.match_valid
+            ),
+            re.weight,
+        )
+        if psd:
+            ata = graph.psd_correct(ata)
+        gidx = jnp.concatenate(
+            [
+                graph.slot_indices(re.i0, bd, sel_pose),
+                graph.slot_indices(re.i1, bd, sel_pose),
+                graph.slot_indices(re.i0, bd, sel_code),
+                graph.slot_indices(re.i0, bd, sel_scale),
+            ],
+            axis=-1,
+        )
+        h, b = graph.scatter_hessian(h, b, gidx, ata, atb, re.valid)
+        total_err = total_err + jnp.sum(err * re.valid)
+
     # ---- priors ----
     pr = problem.priors
     kf_range = jnp.arange(k, dtype=jnp.int32)
@@ -278,6 +343,30 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
             loss_param,
         )
         total = total + jnp.sum(err * ge.valid)
+
+    re = problem.reproj_edges
+    if re is not None and re.i0.shape[0] > 0:
+        rep_loss_param = cfg.reproj_loss_param_factor * float(
+            cam_pyr[0].width
+        ) ** 2
+        err, _ = jax.vmap(
+            lambda p0, p1, c0, s0, bias0, jac0, matches, w: rp_ops.reprojection_error(
+                p0, p1, c0, s0, bias0, jac0, matches, cam_pyr[0], w,
+                rep_loss_param, cfg.dpt_eps,
+            )
+        )(
+            _edge_vars(variables, re.i0),
+            _edge_vars(variables, re.i1),
+            variables.code[re.i0],
+            variables.scale[re.i0],
+            problem.window.bias_flat[re.i0],
+            problem.window.jac_flat[re.i0],
+            rp_ops.ReprojMatchSet(
+                re.loc1d_0, re.homo_0, re.matched_2d_1, re.match_valid
+            ),
+            re.weight,
+        )
+        total = total + jnp.sum(err * re.valid)
 
     pr = problem.priors
     _, _, err_c = jax.vmap(

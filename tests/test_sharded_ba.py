@@ -1,0 +1,60 @@
+"""Multi-device edge-partitioned BA on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sage_slam_tpu.config import MapperConfig
+from sage_slam_tpu.parallel import sharded_ba
+from sage_slam_tpu.solver import ba
+from tests.test_ba import build_problem, perturbed_vars
+
+
+def test_dryrun_8_devices():
+    assert len(jax.devices()) >= 8
+    sharded_ba.dryrun(8)
+
+
+def test_sharded_matches_single_device():
+    """Edge-sharded LM must produce the same result as single-device LM."""
+    from jax.sharding import Mesh
+
+    k, cs = 3, 4
+    problem, pyr = build_problem(k=k, cs=cs)
+    cfg = MapperConfig()
+    v0 = perturbed_vars(k, cs)
+    mask = jnp.ones(k)
+
+    v_single, err_single, _ = ba.run_ba(
+        v0, problem, pyr, cfg, mask, max_iters=4
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (sharded_ba.AXIS,))
+    problem_sharded = sharded_ba.shard_problem(problem, mesh)
+    v_multi, err_multi, _ = sharded_ba.sharded_run_ba(
+        v0, problem_sharded, pyr, cfg, mask, mesh, max_iters=4
+    )
+
+    np.testing.assert_allclose(
+        float(err_single), float(err_multi), rtol=1e-4, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.array(v_single.pose.trans),
+        np.array(v_multi.pose.trans),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(v_single.code), np.array(v_multi.code), atol=1e-5
+    )
+
+
+def test_pad_edges():
+    e = ba.EdgeTable(
+        jnp.asarray([0, 1, 2], jnp.int32),
+        jnp.asarray([1, 2, 0], jnp.int32),
+        jnp.ones(3),
+    )
+    p = sharded_ba.pad_edges(e, 4)
+    assert p.i0.shape[0] == 4
+    assert float(p.valid[3]) == 0.0
