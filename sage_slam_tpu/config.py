@@ -29,6 +29,8 @@ class TrackerConfig:
     reproj_factor_weight: float = 0.1
     match_geom_factor_weight: float = 0.1
     ref_kf_select_ratio: float = 0.6
+    reproj_loss_param_factor: float = 0.03
+    match_geom_loss_param_factor: float = 0.1
     use_reprojection: bool = True
     use_photometric: bool = True
     photo_factor_weights: Tuple[float, ...] = (10.0, 9.0, 8.0, 7.0)

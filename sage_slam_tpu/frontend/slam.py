@@ -1,0 +1,648 @@
+"""SLAM orchestrator — the DeepFactors equivalent.
+
+Host-side control flow over jitted device programs, mirroring
+core/deepfactors.cpp:
+
+* process_frame (:1574-1713): build frame -> select keyframe (CLOSEST by
+  pose distance with a descriptor geo-check) -> 6-DoF LM tracking
+  (photometric + reprojection) -> keyframe decision on area/inlier/
+  motion/descriptor ratios (:2020-2058) -> keyframe creation with gated
+  back-connections (:1633-1679),
+* loop closure (:898-1246): local loop adds links only; global loop
+  verifies candidates by 7-DoF tracking and solves the pose-scale graph
+  (loop.pose_graph), then reinitializes affected keyframes,
+* mapping: Mapper.mapping_step() is invoked synchronously by the caller
+  (the reference's 2 Hz mapping thread maps to calling it per keyframe
+  or on a timer; the device programs are identical).
+
+The reference's 4 pthreads become explicit methods the host loop calls —
+on TPU the device serializes work anyway and async dispatch overlaps
+host/device; a threaded driver can wrap these methods unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import interp, se3 as se3m
+from ..geometry.camera import CameraPyramid, PinholeCamera
+from ..geometry.se3 import SE3
+from ..loop import pose_graph, vocabulary
+from ..mapping.keyframe_store import FrameData, get_row as _get_row
+from ..mapping.mapper import Mapper
+from ..tracker import matching_geo, tracker
+from ..tracker.tracker import TrackerRef, TrackerTarget, TrackTerms
+
+
+@dataclasses.dataclass
+class LoopInfo:
+    detected: bool = False
+    id_ref: int = -1
+    pose_cur_ref: Optional[SE3] = None
+    query_scale: float = 1.0
+    ref_scale: float = 1.0
+    desc_inlier_ratio: float = 0.0
+
+
+@dataclasses.dataclass
+class FrameResult:
+    pose: SE3
+    tracked: bool
+    new_keyframe: bool
+    keyframe_id: int
+    area_ratio: float
+    inlier_ratio: float
+    average_motion: float
+    desc_inlier_ratio: float
+    tracker_error: float
+
+
+class SlamSystem:
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        camera: PinholeCamera,
+        video_mask: jax.Array,  # [h, w] output-res mask
+        depth_params,
+        feat_params,
+        voc: Optional[vocabulary.Vocabulary] = None,
+        depth_cfg=None,
+        feat_cfg=None,
+    ):
+        self.cfg = cfg
+        self.cam = camera
+        self.cam_pyr = CameraPyramid.build(camera, cfg.pyramid_levels)
+        self.mapper = Mapper(
+            cfg, self.cam_pyr, video_mask, depth_params, feat_params,
+            depth_cfg, feat_cfg,
+        )
+        self.store = self.mapper.store
+        self.voc = voc
+        self.bow_db = (
+            vocabulary.BowDatabase(voc, cfg.max_keyframes)
+            if voc is not None
+            else None
+        )
+        self.curr_kf: int = -1
+        self.pose_ck: SE3 = SE3.identity()  # camera-from-keyframe
+        self.trajectory: List[tuple] = []  # (ts, SE3 world-from-camera)
+        self.global_loops: dict = {}  # (id0,id1) -> (scale0, scale1)
+        self.force_keyframe = False
+        self._visited: List[int] = []
+
+        self._track_fns = {}
+        self._sample_feats_fn = jax.jit(
+            lambda fpyr, loc1d: tracker._sample_source_features(
+                fpyr, loc1d, self.cam_pyr
+            )
+        )
+        self._mg_fn = jax.jit(
+            lambda key, d0, d1, dpt0, dpt1, s1: matching_geo.feature_matching_geo(
+                key, d0, d1, self.mapper.valid_loc1d, dpt0, dpt1,
+                self.cam, cfg.tracker.desc_num_keypoints, 2.0,
+                cfg.tracker.teaser_noise_bound_multiplier,
+                estimate_scale=True, dpt_scale_1=s1,
+            )
+        )
+
+    # ------------------------------------------------------------------
+
+    def bootstrap(self, timestamp: float, image: jax.Array) -> int:
+        """BootstrapOneFrame (deepfactors.cpp:1781)."""
+        kf_id = self.mapper.init_one_frame(timestamp, image)
+        self.curr_kf = kf_id
+        self.pose_ck = SE3.identity()
+        self._visited.append(kf_id)
+        if self.bow_db is not None:
+            desc = self.store.row("feat_desc", kf_id)
+            self.bow_db.add(jnp.take(desc, self.mapper.valid_loc1d, axis=0))
+        self.trajectory.append((timestamp, self.store.pose(kf_id)))
+        return kf_id
+
+    # ------------------------------------------------------------------
+
+    def _tracker_ref(self, kf_id: int) -> TrackerRef:
+        """Per-keyframe tracking data (camera_tracker.cpp:1073-1121)."""
+        depth = self.store.depth_map(kf_id)
+        loc1d = self.store.row("loc1d", kf_id)
+        return TrackerRef(
+            photo_homo0=self.store.row("homo", kf_id),
+            photo_dpts0=jnp.take(depth, loc1d),
+            cat_photo_feats0=self._sample_feats_fn(
+                self.store.row("feat_pyr", kf_id), loc1d
+            ),
+        )
+
+    def _target(self, fr: FrameData) -> TrackerTarget:
+        return TrackerTarget(
+            feat_pyr=fr.feat_pyr,
+            grad_pyr=fr.grad_pyr,
+            mask_flat=self.mapper.mask_flat,
+        )
+
+    def _match_geo(self, kf_id: int, fr: FrameData):
+        key = jax.random.key((kf_id * 2654435761 + 1) & 0x7FFFFFFF)
+        kf_depth = self.store.depth_map(kf_id)
+        fr_depth = fr.scale * (fr.bias_flat + fr.jac_flat @ fr.code)
+        return self._mg_fn(
+            key,
+            self.store.row("feat_desc", kf_id),
+            fr.feat_desc_flat,
+            kf_depth,
+            fr_depth,
+            jnp.asarray(fr.scale),
+        )
+
+    def select_keyframe(self, frame_pose: SE3) -> int:
+        """CLOSEST keyframe by pose distance (deepfactors.cpp:2059-2131,
+        geo-check simplified to the pose-distance argmin)."""
+        if self.cfg.tracking_mode == "LAST":
+            return self.store.num_active - 1
+        if self.cfg.tracking_mode == "FIRST":
+            return 0
+        k = self.store.num_active
+        poses = SE3(
+            self.store.variables.pose.rot[:k],
+            self.store.variables.pose.trans[:k],
+        )
+        dists = se3m.pose_distance(
+            poses,
+            SE3(
+                jnp.broadcast_to(frame_pose.rot, (k, 3, 3)),
+                jnp.broadcast_to(frame_pose.trans, (k, 3)),
+            ),
+            self.cfg.keyframe.pose_dist_trans_weight,
+            self.cfg.keyframe.pose_dist_rot_weight,
+        )
+        return int(jnp.argmin(dists))
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, timestamp: float, image: jax.Array) -> FrameResult:
+        """ProcessFrame (deepfactors.cpp:1574-1713)."""
+        assert self.store.num_active > 0, "call bootstrap() first"
+        fr = self.mapper.build_frame(timestamp, image)
+
+        world_pose_guess = se3m.compose(
+            self.store.pose(self.curr_kf), se3m.inverse(self.pose_ck)
+        )
+        kf_id = self.select_keyframe(world_pose_guess)
+        if kf_id != self.curr_kf:
+            # re-express the relative pose w.r.t. the new reference
+            self.pose_ck = se3m.compose(
+                se3m.inverse(world_pose_guess), self.store.pose(kf_id)
+            )
+            self.pose_ck = se3m.inverse(self.pose_ck)
+            self.curr_kf = kf_id
+
+        ref = self._tracker_ref(self.curr_kf)
+        target = self._target(fr)
+
+        # descriptor matching for the reprojection term + ratios
+        mg = self._match_geo(self.curr_kf, fr)
+        kf_depth_at = mg.dpts0
+
+        terms = TrackTerms(
+            reproj_dpts0=kf_depth_at,
+            reproj_homo0=mg.homo0,
+            reproj_matched_2d=mg.matched_2d_1,
+            reproj_valid=mg.inliers,
+            reproj_weight=float(mg.desc_inlier_ratio)
+            * self.cfg.tracker.reproj_factor_weight,
+            reproj_loss_param=self.cfg.tracker.reproj_loss_param_factor
+            * self.cam.width**2,
+        ) if self.cfg.tracker.use_reprojection else TrackTerms()
+
+        key = ("6dof", terms.reproj_dpts0 is not None)
+        fn = self._track_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda r, t, ref_, target_, terms_: tracker.lm_track(
+                    r, t, ref_, target_, self.cam_pyr, self.cfg.tracker,
+                    terms=terms_,
+                )
+            )
+            self._track_fns[key] = fn
+        res = fn(self.pose_ck.rot, self.pose_ck.trans, ref, target, terms)
+        self.pose_ck = SE3(res.rot, res.trans)
+
+        # metrics (camera_tracker.cpp:1289-1293)
+        kf_full_depth = self.store.depth_map(self.curr_kf)
+        valid_homo = interp.locations_1d_to_homo(
+            self.mapper.valid_loc1d, self.cam
+        )
+        metrics = tracker.area_inlier_motion(
+            jnp.take(kf_full_depth, self.mapper.valid_loc1d),
+            valid_homo,
+            res.rot,
+            res.trans,
+            self.cam,
+            self.mapper.mask_flat,
+            self.cfg.tracker.dpt_eps,
+        )
+        src2d = np.array(metrics["source_2d"])
+        warp2d = np.array(metrics["warped_2d"])
+        within = np.array(metrics["within"]) > 0.5
+        a0 = tracker.convex_hull_area(src2d)
+        a1 = tracker.convex_hull_area(warp2d[within]) if within.any() else 0.0
+        area_ratio = a1 / a0 if a0 > 0 else 0.0
+        inlier_ratio = float(metrics["inlier_ratio"])
+        avg_motion = float(metrics["average_motion"])
+        desc_ratio = float(mg.relative_desc_inlier_ratio)
+
+        frame_pose = se3m.compose(
+            self.store.pose(self.curr_kf), se3m.inverse(self.pose_ck)
+        )
+        fr.pose = frame_pose
+        self.trajectory.append((timestamp, frame_pose))
+
+        new_kf = self._new_keyframe_required(
+            area_ratio, inlier_ratio, avg_motion, desc_ratio
+        )
+        kf_created = -1
+        if new_kf:
+            kf_created = self._create_keyframe(fr)
+
+        return FrameResult(
+            pose=frame_pose,
+            tracked=True,
+            new_keyframe=new_kf,
+            keyframe_id=kf_created if new_kf else self.curr_kf,
+            area_ratio=area_ratio,
+            inlier_ratio=inlier_ratio,
+            average_motion=avg_motion,
+            desc_inlier_ratio=desc_ratio,
+            tracker_error=float(res.error),
+        )
+
+    def _new_keyframe_required(
+        self, area_ratio, inlier_ratio, avg_motion, desc_ratio
+    ) -> bool:
+        """deepfactors.cpp:2020-2058."""
+        if self.force_keyframe:
+            self.force_keyframe = False
+            return True
+        if self.cfg.keyframe_mode == "NEVER":
+            return False
+        kcfg = self.cfg.keyframe
+        frame_too_far = (
+            area_ratio < kcfg.max_area_ratio
+            or inlier_ratio < kcfg.max_inlier_ratio
+            or avg_motion > kcfg.min_average_motion
+        )
+        frame_too_unlike = desc_ratio < kcfg.max_desc_inlier_ratio
+        return frame_too_far or frame_too_unlike
+
+    def _create_keyframe(self, fr: FrameData) -> int:
+        """Back-connection gathering (deepfactors.cpp:1633-1679) + enqueue."""
+        kcfg = self.cfg.keyframe
+        candidates = list(
+            range(self.store.num_active - 1, -1, -1)
+        )[: kcfg.temporal_max_back_connections + 2]
+        back: List[int] = [self.curr_kf] if self.curr_kf in candidates else []
+        for cid in candidates:
+            if len(back) >= kcfg.temporal_max_back_connections:
+                break
+            if cid in back:
+                continue
+            mg = self._match_geo(cid, fr)
+            if (
+                float(mg.relative_desc_inlier_ratio)
+                >= kcfg.temporal_min_desc_inlier_ratio
+            ):
+                back.append(cid)
+        if not back:
+            back = [self.curr_kf]
+        kf_id = self.mapper.enqueue_keyframe(fr, back)
+        self.curr_kf = kf_id
+        self.pose_ck = SE3.identity()
+        self._visited.append(kf_id)
+        if self.bow_db is not None:
+            self.bow_db.add(
+                jnp.take(fr.feat_desc_flat, self.mapper.valid_loc1d, axis=0)
+            )
+        return kf_id
+
+    # ------------------------------------------------------------------
+    # loop closure
+
+    def detect_local_loop(self, kf_id: int) -> LoopInfo:
+        """DetectLocalLoop (loop_detector.cpp:236-367), simplified to the
+        pose-distance gate + descriptor verification."""
+        lcfg = self.cfg.loop
+        conns = self.store.connections(kf_id)
+        if not conns:
+            return LoopInfo()
+        kf_pose = self.store.pose(kf_id)
+        dists = {
+            c: float(
+                se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
+            )
+            for c in conns
+        }
+        min_dist = min(dists.values())
+        ref_dist = lcfg.local_dist_ratio * min_dist
+
+        best = LoopInfo()
+        best_ratio = 0.0
+        recent = self._visited[-lcfg.local_active_window :]
+        for cid in recent:
+            if abs(cid - kf_id) <= self.cfg.keyframe.temporal_max_back_connections:
+                continue
+            if self.store.link_exists(kf_id, cid):
+                continue
+            d = float(
+                se3m.pose_distance(kf_pose, self.store.pose(cid), 1.0, 1.0)
+            )
+            if d >= ref_dist:
+                continue
+            fr_like = self._store_frame_view(kf_id)
+            mg = self._match_geo(cid, fr_like)
+            ratio = float(mg.desc_inlier_ratio)
+            if ratio < lcfg.min_desc_inlier_ratio:
+                continue
+            if ratio > best_ratio:
+                best_ratio = ratio
+                best = LoopInfo(detected=True, id_ref=cid)
+        return best
+
+    def _store_frame_view(self, kf_id: int) -> FrameData:
+        """A FrameData view over a stored keyframe (for re-matching)."""
+        return FrameData(
+            timestamp=self.store.timestamps[kf_id],
+            bias_flat=self.store.row("bias_flat", kf_id),
+            jac_flat=self.store.row("jac_flat", kf_id),
+            feat_pyr=self.store.row("feat_pyr", kf_id),
+            grad_pyr=self.store.row("grad_pyr", kf_id),
+            feat_desc_flat=self.store.row("feat_desc", kf_id),
+            loc1d=self.store.row("loc1d", kf_id),
+            homo=self.store.row("homo", kf_id),
+            avg_sq_bias=float(self.store.row("avg_sq_bias", kf_id)),
+            pose=self.store.pose(kf_id),
+            code=_get_row(self.store.variables.code, kf_id),
+            scale=float(_get_row(self.store.variables.scale, kf_id)),
+        )
+
+    def detect_global_loop(self, kf_id: int) -> List[LoopInfo]:
+        """DetectLoop (loop_detector.cpp:53-231): BoW query + gates +
+        7-DoF verification."""
+        if self.bow_db is None:
+            return []
+        lcfg = self.cfg.loop
+        conns = self.store.connections(kf_id)
+        bow_q = self.bow_db.vectors[kf_id]
+        max_sim = 0.0
+        for c in conns:
+            s = float(vocabulary.score_l1(bow_q, self.bow_db.vectors[c]))
+            max_sim = max(max_sim, s)
+        scores, ids = self.bow_db.query(bow_q, lcfg.max_candidates)
+        candidates = []
+        for s, cid in zip(scores, ids):
+            cid = int(cid)
+            if abs(cid - kf_id) < lcfg.global_active_window:
+                continue
+            if s < lcfg.global_sim_ratio * max_sim:
+                break
+            if self.store.link_exists(kf_id, cid):
+                continue
+            candidates.append(cid)
+        if not candidates:
+            return []
+
+        fr_like = self._store_frame_view(kf_id)
+        loops: List[LoopInfo] = []
+        for cid in sorted(candidates):
+            mg = self._match_geo(cid, fr_like)
+            ratio = float(mg.desc_inlier_ratio)
+            if ratio < lcfg.min_desc_inlier_ratio:
+                continue
+            verified = self._verify_loop_7dof(cid, fr_like, mg)
+            if verified is not None:
+                verified.desc_inlier_ratio = ratio
+                loops.append(verified)
+        # redundancy suppression (loop_detector.cpp:203-229)
+        loops.sort(key=lambda l: -l.desc_inlier_ratio)
+        filtered: List[LoopInfo] = []
+        for lp in loops:
+            if all(
+                abs(lp.id_ref - q.id_ref) >= lcfg.global_redundant_range
+                for q in filtered
+            ):
+                filtered.append(lp)
+        return filtered
+
+    def _verify_loop_7dof(self, ref_id, fr_like, mg) -> Optional[LoopInfo]:
+        """7-DoF tracking against the candidate (loop_detector.cpp:154-200)."""
+        lcfg = self.cfg.loop
+        ref = self._tracker_ref(ref_id)
+        target = self._target(fr_like)
+        terms = TrackTerms(
+            mg_dpts0=mg.dpts0,
+            mg_homo0=mg.homo0,
+            mg_dpts1=mg.dpts1,
+            mg_homo1=mg.homo1,
+            mg_valid=mg.inliers,
+            mg_weight=float(mg.desc_inlier_ratio)
+            * self.cfg.tracker.match_geom_factor_weight,
+            mg_loss_param=self.cfg.tracker.match_geom_loss_param_factor
+            * float(self.store.row("avg_sq_bias", ref_id)),
+        )
+        key = ("7dof", True)
+        fn = self._track_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda r, t, s, ref_, target_, terms_: tracker.lm_track(
+                    r, t, ref_, target_, self.cam_pyr, self.cfg.tracker,
+                    terms=terms_, with_scale=True, init_scale=s,
+                    max_iters=self.cfg.loop.tracking_max_num_iters,
+                )
+            )
+            self._track_fns[key] = fn
+        res = fn(
+            mg.guess_rot, mg.guess_trans, mg.guess_scale, ref, target, terms
+        )
+
+        # overlap gates
+        depth = self.store.depth_map(ref_id)
+        valid_homo = interp.locations_1d_to_homo(
+            self.mapper.valid_loc1d, self.cam
+        )
+        metrics = tracker.area_inlier_motion(
+            jnp.take(depth, self.mapper.valid_loc1d),
+            valid_homo, res.rot, res.trans, self.cam,
+            self.mapper.mask_flat, self.cfg.tracker.dpt_eps,
+        )
+        within = np.array(metrics["within"]) > 0.5
+        a0 = tracker.convex_hull_area(np.array(metrics["source_2d"]))
+        a1 = (
+            tracker.convex_hull_area(np.array(metrics["warped_2d"])[within])
+            if within.any()
+            else 0.0
+        )
+        area_ratio = a1 / a0 if a0 > 0 else 0.0
+        inlier_ratio = float(metrics["inlier_ratio"])
+        if area_ratio < lcfg.min_area_ratio or inlier_ratio < lcfg.min_inlier_ratio:
+            return None
+
+        # pose_cur_ref with scale-adjusted translation
+        # (loop_detector.cpp:188-196)
+        ref_scale = float(_get_row(self.store.variables.scale, ref_id))
+        trans = res.trans * ref_scale / float(res.scale)
+        pose_cur_ref = SE3(res.rot, trans)
+        fr_scale = self.mapper.correct_depth_scale(
+            dataclasses.replace(
+                fr_like, pose=se3m.compose(
+                    self.store.pose(ref_id), se3m.inverse(pose_cur_ref)
+                )
+            ),
+            ref_id,
+        )
+        return LoopInfo(
+            detected=True,
+            id_ref=ref_id,
+            pose_cur_ref=pose_cur_ref,
+            query_scale=fr_scale,
+            ref_scale=ref_scale,
+        )
+
+    def close_global_loops(self, kf_id: int, loops: List[LoopInfo]):
+        """Pose-scale graph solve + write-back
+        (LoopClosurePoseScaleEstimate, deepfactors.cpp:81-386)."""
+        if not loops:
+            return
+        lcfg = self.cfg.loop
+        k = self.store.capacity
+        n = self.store.num_active
+
+        i0, i1, trot, ttr, ts0, ts1, w = [], [], [], [], [], [], []
+
+        def add_edge(a, b, rel, s0, s1, weight):
+            i0.append(a)
+            i1.append(b)
+            trot.append(np.array(rel.rot))
+            ttr.append(np.array(rel.trans))
+            ts0.append(float(s0))
+            ts1.append(float(s1))
+            w.append(weight)
+
+        scales = np.array(self.store.variables.scale[:n])
+        in_graph = set()
+        for a in range(n):
+            for b in self.store.connections(a):
+                if a < b and (a, b) not in self.global_loops:
+                    rel = se3m.compose(
+                        se3m.inverse(self.store.pose(b)), self.store.pose(a)
+                    )
+                    add_edge(a, b, rel, scales[a], scales[b],
+                             lcfg.pose_graph_local_link_weight)
+                    add_edge(b, a, se3m.inverse(rel), scales[b], scales[a],
+                             lcfg.pose_graph_local_link_weight)
+                    in_graph.update((a, b))
+        for (a, b), (s0, s1) in self.global_loops.items():
+            rel = se3m.compose(
+                se3m.inverse(self.store.pose(b)), self.store.pose(a)
+            )
+            add_edge(a, b, rel, s0, s1, lcfg.pose_graph_global_link_weight)
+            add_edge(b, a, se3m.inverse(rel), s1, s0,
+                     lcfg.pose_graph_global_link_weight)
+            in_graph.update((a, b))
+
+        scale_valid = np.zeros(k, np.float32)
+        scale_target = np.ones(k, np.float32)
+        scale_weight = np.full(k, lcfg.pose_graph_scale_prior_weight, np.float32)
+        ref_scale0 = loops[0].ref_scale
+        for idx, lp in enumerate(loops):
+            tgt_s0 = ref_scale0
+            tgt_s1 = tgt_s0 * lp.query_scale / lp.ref_scale
+            # loop edge ref->query: the factor's relpose10 = T_q^-1 T_ref
+            # equals pose_cur_ref (cur-from-ref)
+            add_edge(lp.id_ref, kf_id, lp.pose_cur_ref, tgt_s0, tgt_s1,
+                     lcfg.pose_graph_global_link_weight)
+            add_edge(kf_id, lp.id_ref, se3m.inverse(lp.pose_cur_ref),
+                     tgt_s1, tgt_s0, lcfg.pose_graph_global_link_weight)
+            in_graph.update((lp.id_ref, kf_id))
+            if idx == 0:
+                scale_valid[lp.id_ref] = 1.0
+                scale_target[lp.id_ref] = tgt_s0
+                scale_valid[kf_id] = 1.0
+                scale_target[kf_id] = tgt_s1
+            self.global_loops[(min(lp.id_ref, kf_id), max(lp.id_ref, kf_id))] = (
+                tgt_s0, tgt_s1
+            )
+            self.store.add_link(lp.id_ref, kf_id, global_loop=True)
+            self.mapper.enqueue_link(
+                kf_id, lp.id_ref, True, lcfg.use_match_geom,
+                self.cfg.mapper.use_geometric, True,
+            )
+
+        # anchor first keyframe
+        scale_valid[0] = 1.0
+        scale_target[0] = scales[0]
+        scale_weight[0] = 100.0
+        pose_valid = np.zeros(k, np.float32)
+        pose_valid[0] = 1.0
+
+        edges = pose_graph.PoseScaleEdges(
+            i0=jnp.asarray(i0, jnp.int32),
+            i1=jnp.asarray(i1, jnp.int32),
+            target_rot=jnp.asarray(np.stack(trot)),
+            target_trans=jnp.asarray(np.stack(ttr)),
+            target_scale0=jnp.asarray(ts0),
+            target_scale1=jnp.asarray(ts1),
+            weight=jnp.asarray(w),
+            valid=jnp.ones(len(i0)),
+        )
+        priors = pose_graph.PoseScalePriors(
+            pose_valid=jnp.asarray(pose_valid),
+            pose_target=SE3(
+                self.store.variables.pose.rot, self.store.variables.pose.trans
+            ),
+            pose_weight=1.0e8,
+            scale_valid=jnp.asarray(scale_valid),
+            scale_target=jnp.asarray(scale_target),
+            scale_weight=jnp.asarray(scale_weight),
+        )
+        variables = pose_graph.make_pose_scale_variables(
+            SE3(self.store.variables.pose.rot, self.store.variables.pose.trans),
+            self.store.variables.scale,
+        )
+        active = np.zeros(k, np.float32)
+        active[:n] = 1.0
+        v_opt, err, _ = pose_graph.optimize(
+            variables, edges, priors, lcfg, jnp.asarray(active),
+            max_iters=lcfg.pose_scale_graph_max_iters // 10,
+        )
+
+        # write back: in-graph keyframes take optimized values
+        from ..solver.graph import Variables
+
+        new_vars = Variables(
+            pose=v_opt.pose,
+            code=self.store.variables.code,
+            scale=v_opt.scale,
+        )
+        self.store.variables = new_vars
+        self.store.reinitialize_count[list(in_graph | {kf_id})] += 1
+
+    # ------------------------------------------------------------------
+
+    def refine_mapping(self, iters: Optional[int] = None):
+        """Final convergence loop (live_demo.cpp:252-257)."""
+        n = iters or self.cfg.mapper.refine_mapping_iters
+        err = 0.0
+        for _ in range(n):
+            err = self.mapper.mapping_step()
+        return err
+
+    def keyframe_trajectory(self):
+        """(timestamp, SE3) per keyframe, for TUM export."""
+        out = []
+        for i in range(self.store.num_active):
+            out.append((self.store.timestamps[i], self.store.pose(i)))
+        return out

@@ -120,8 +120,10 @@ def so3_log(rot: jax.Array) -> jax.Array:
     # near theta=0 use the smooth series in (3 - trace) ~ theta^2 so the
     # whole map is differentiable (arccos' grad blows up at cos=1)
     small = cos_theta > 1.0 - 1e-6
+    # for small angles arccos is evaluated at a CONSTANT (pi/2) so no
+    # unbounded gradient leaks through the untaken where-branch; the
+    # small-angle omega below never uses theta itself
     theta = jnp.arccos(jnp.where(small, jnp.zeros_like(cos_theta), cos_theta))
-    theta = jnp.where(small, jnp.sqrt(jnp.maximum(3.0 - trace, 0.0)), theta)
     # vee of the antisymmetric part
     w = jnp.stack(
         [

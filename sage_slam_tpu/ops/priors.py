@@ -35,11 +35,17 @@ from ..geometry.se3 import SE3
 
 
 def scale_prior(scale, init_scale, weight):
-    """Returns (AtA [1,1], Atb [1], error)."""
-    log_diff = jnp.log(init_scale) - jnp.log(scale)
-    ata = jnp.reshape(weight / (scale * scale), (1, 1))
-    atb = jnp.reshape(weight / scale * log_diff, (1,))
-    err = weight * log_diff**2
+    """Returns (AtA [1,1], Atb [1], error).
+
+    The reference LOG(FATAL)s on non-positive scale (scale_factor.cpp:93);
+    here a huge finite penalty makes the LM loop reject any step that
+    drives a scale non-positive (and keeps padded rows NaN-free)."""
+    ok = scale > 0
+    safe = jnp.where(ok, scale, jnp.ones_like(scale))
+    log_diff = jnp.log(init_scale) - jnp.log(safe)
+    ata = jnp.reshape(weight / (safe * safe), (1, 1))
+    atb = jnp.reshape(jnp.where(ok, weight / safe * log_diff, 0.0), (1,))
+    err = jnp.where(ok, weight * log_diff**2, 1e10)
     return ata, atb, err
 
 

@@ -27,24 +27,32 @@ import jax.numpy as jnp
 class RegistrationResult(NamedTuple):
     rot: jax.Array  # [3, 3]
     trans: jax.Array  # [3]
+    scale: jax.Array  # scalar (1.0 unless estimate_scale)
     inliers: jax.Array  # [M] 0/1 residual <= noise bound
     weights: jax.Array  # [M] final GNC weights
 
 
-def _weighted_horn(src, dst, w):
-    """Closed-form weighted rigid alignment dst ~ R src + t."""
+def _weighted_horn(src, dst, w, estimate_scale: bool = False):
+    """Closed-form weighted alignment dst ~ s R src + t (Umeyama)."""
     wsum = jnp.maximum(jnp.sum(w), 1e-8)
     mu_s = jnp.sum(w[:, None] * src, axis=0) / wsum
     mu_d = jnp.sum(w[:, None] * dst, axis=0) / wsum
     s = src - mu_s
     d = dst - mu_d
     cov = (w[:, None] * d).T @ s  # [3, 3]
-    u, _, vt = jnp.linalg.svd(cov)
+    u, sv, vt = jnp.linalg.svd(cov)
     det = jnp.linalg.det(u @ vt)
     fix = jnp.diag(jnp.array([1.0, 1.0, 1.0], cov.dtype)).at[2, 2].set(det)
     rot = u @ fix @ vt
-    trans = mu_d - rot @ mu_s
-    return rot, trans
+    if estimate_scale:
+        # Umeyama: scale = trace(D * sign-fix) / weighted src variance
+        scale = jnp.sum(sv * jnp.diagonal(fix)) / jnp.maximum(
+            jnp.sum(w[:, None] * s**2), 1e-12
+        )
+    else:
+        scale = jnp.asarray(1.0, src.dtype)
+    trans = mu_d - scale * (rot @ mu_s)
+    return rot, trans, scale
 
 
 def gnc_tls_registration(
@@ -54,17 +62,18 @@ def gnc_tls_registration(
     valid: jax.Array,  # [M] 0/1
     num_iters: int = 20,
     gnc_factor: float = 1.4,
+    estimate_scale: bool = False,
 ) -> RegistrationResult:
     dtype = src.dtype
     c2 = jnp.maximum(noise_bounds, 5.0e-4) ** 2
 
-    def residual_sq(rot, trans):
-        pred = src @ rot.T + trans
+    def residual_sq(rot, trans, scale):
+        pred = scale * (src @ rot.T) + trans
         return jnp.sum((dst - pred) ** 2, axis=-1)
 
     # initial fit on all valid points
-    rot, trans = _weighted_horn(src, dst, valid)
-    r2 = residual_sq(rot, trans)
+    rot, trans, scl = _weighted_horn(src, dst, valid, estimate_scale)
+    r2 = residual_sq(rot, trans, scl)
     # GNC-TLS mu init: mu small => nearly-convex surrogate (Yang et al. 2020)
     max_r2 = jnp.max(jnp.where(valid > 0, r2, 0.0))
     cbar2 = jnp.mean(c2)
@@ -84,21 +93,21 @@ def gnc_tls_registration(
         return w
 
     def body(carry, _):
-        rot, trans, mu, _ = carry
-        r2 = residual_sq(rot, trans)
+        rot, trans, scl, mu, _ = carry
+        r2 = residual_sq(rot, trans, scl)
         w = tls_weights(r2, mu) * valid
-        rot, trans = _weighted_horn(src, dst, w)
-        return (rot, trans, mu * gnc_factor, w), None
+        rot, trans, scl = _weighted_horn(src, dst, w, estimate_scale)
+        return (rot, trans, scl, mu * gnc_factor, w), None
 
-    (rot, trans, _, w), _ = jax.lax.scan(
+    (rot, trans, scl, _, w), _ = jax.lax.scan(
         body,
-        (rot, trans, mu, valid.astype(dtype)),
+        (rot, trans, scl, mu, valid.astype(dtype)),
         None,
         length=num_iters,
     )
-    r2 = residual_sq(rot, trans)
+    r2 = residual_sq(rot, trans, scl)
     inliers = ((r2 <= c2) & (valid > 0)).astype(dtype)
-    return RegistrationResult(rot, trans, inliers, w)
+    return RegistrationResult(rot, trans, scl, inliers, w)
 
 
 def translation_inlier_filter(

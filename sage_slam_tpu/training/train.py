@@ -1,0 +1,352 @@
+"""Training driver — two-phase curriculum with differentiable BA.
+
+Mirrors representation/training.py: SGD + cyclic LR, a `separate` phase
+(depth + descriptor losses only) switching to a `joint` phase that runs
+the unrolled differentiable BA inside the loss (training.py:266-269,
+549-585), an LSGAN discriminator step (:702-720), gradient clipping at
+10.0 (:682-700), and npz checkpointing with epoch/step resume
+(:163-182, 408-420).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..geometry.camera import CameraPyramid
+from ..models import depth_network, feature_network
+from ..ops import geometric, photometric
+from ..ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
+from . import diff_ba, discriminator, losses
+from .dataset import Triplet
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    base_lr: float = 1.0e-4
+    max_lr: float = 1.0e-3
+    cycle_steps: int = 2000
+    separate_train_epoch: int = 2
+    grad_clip: float = 10.0
+    depth_weight: float = 1.0
+    flow_weight: float = 1.0
+    desc_weight: float = 1.0
+    no_match_weight: float = 0.1
+    hist_weight: float = 0.1
+    decor_weight: float = 1.0e-3
+    g_adv_weight: float = 1.0e-3
+    ba_iters: int = 4
+    response_sigma_init: float = 30.0
+    pyramid_levels: int = 3
+    num_photo_samples: int = 128
+
+
+class TrainState(NamedTuple):
+    params: dict  # depth / feat / ba / sigma / disc
+    opt_state: optax.OptState
+    disc_opt_state: optax.OptState
+    step: jnp.ndarray
+    epoch: int
+
+
+def cyclic_lr(cfg: TrainConfig):
+    """CyclicLR (utils/scheduler.py): triangular between base and max."""
+
+    def schedule(step):
+        cycle = jnp.floor(1 + step / (2 * cfg.cycle_steps))
+        x = jnp.abs(step / cfg.cycle_steps - 2 * cycle + 1)
+        return cfg.base_lr + (cfg.max_lr - cfg.base_lr) * jnp.maximum(
+            0.0, 1.0 - x
+        )
+
+    return schedule
+
+
+def init_state(
+    key,
+    depth_cfg: depth_network.DepthNetConfig,
+    feat_cfg: feature_network.FeatureNetConfig,
+    disc_cfg: discriminator.DiscConfig,
+    cfg: TrainConfig,
+) -> tuple:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "depth": depth_network.init_params(k1, depth_cfg),
+        "feat": feature_network.init_params(k2, feat_cfg),
+        "ba": diff_ba.BAParams.init(cfg.pyramid_levels),
+        "log_sigma": jnp.log(jnp.asarray(cfg.response_sigma_init)),
+        "disc": discriminator.init_params(k3, disc_cfg),
+    }
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.sgd(cyclic_lr(cfg), momentum=0.9),
+    )
+    disc_tx = optax.sgd(cfg.base_lr, momentum=0.9)
+    gen_params = {k: v for k, v in params.items() if k != "disc"}
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(gen_params),
+        disc_opt_state=disc_tx.init(params["disc"]),
+        step=jnp.asarray(0),
+        epoch=0,
+    )
+    return state, tx, disc_tx
+
+
+def _prep_frame(params, image, mask_out, cam_pyr, depth_cfg, feat_cfg, key, n_samples):
+    """Network inference + pyramids for one frame (device)."""
+    in_mask = jnp.ones((1,) + image.shape[1:], image.dtype)
+    fmap, fdesc = feature_network.apply(params["feat"], image, in_mask, feat_cfg)
+    bias, basis = depth_network.apply(params["depth"], image, in_mask, depth_cfg)
+    cs = basis.shape[0]
+    masks = mask_pyramid(mask_out, cam_pyr.levels)
+    fpyr, gpyr = gaussian_pyramid_with_grad(fmap, masks, cam_pyr.levels)
+    hw = mask_out.size
+    perm = jax.random.permutation(key, hw)[:n_samples]
+    from ..geometry.interp import locations_1d_to_homo
+
+    homo = locations_1d_to_homo(perm.astype(jnp.int32), cam_pyr[0])
+    return dict(
+        bias_flat=bias.reshape(-1),
+        jac_flat=basis.reshape(cs, -1).T,
+        feat_pyr=fpyr,
+        grad_pyr=gpyr,
+        desc_flat=fdesc.reshape(fdesc.shape[0], -1).T,
+        loc1d=perm.astype(jnp.int32),
+        homo=homo,
+    )
+
+
+def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, joint: bool):
+    """Builds the jitted (loss, aux) function over one triplet."""
+
+    def loss_fn(gen_params, disc_params, batch, key):
+        cam = cam_pyr[0]
+        mask = batch["mask"]
+        k0, k1 = jax.random.split(key)
+        f_src = _prep_frame(
+            gen_params, batch["image_src"], mask, cam_pyr, depth_cfg,
+            feat_cfg, k0, cfg.num_photo_samples,
+        )
+        f_close = _prep_frame(
+            gen_params, batch["image_close"], mask, cam_pyr, depth_cfg,
+            feat_cfg, k1, cfg.num_photo_samples,
+        )
+        in_mask = jnp.ones((1,) + batch["image_far"].shape[1:])
+        _, fdesc_far = feature_network.apply(
+            gen_params["feat"], batch["image_far"], in_mask, feat_cfg
+        )
+        desc_far_flat = fdesc_far.reshape(fdesc_far.shape[0], -1).T
+
+        sigma = jnp.exp(gen_params["log_sigma"])
+        total = jnp.zeros(())
+        aux = {}
+
+        # descriptor losses (training.py:453-479)
+        l_rr = losses.rr_loss(
+            f_src["desc_flat"], f_close["desc_flat"],
+            batch["keypoints_src"], batch["gt_match_close"], sigma,
+        )
+        l_nm = losses.no_match_loss(
+            f_src["desc_flat"], desc_far_flat, batch["keypoints_src"], sigma
+        )
+        src_cdf = losses.descriptor_cdf_histogram(
+            jnp.take(f_src["desc_flat"], batch["keypoints_src"], axis=0)
+        )
+        close_cdf = losses.descriptor_cdf_histogram(
+            jnp.take(f_close["desc_flat"], batch["gt_match_close"], axis=0)
+        )
+        far_cdf = losses.descriptor_cdf_histogram(
+            jnp.take(desc_far_flat, batch["keypoints_src"], axis=0)
+        )
+        l_hist = losses.triplet_histogram_loss(src_cdf, close_cdf, far_cdf)
+        total = (
+            total + cfg.desc_weight * l_rr + cfg.no_match_weight * l_nm
+            + cfg.hist_weight * l_hist
+        )
+        aux.update(rr=l_rr, no_match=l_nm, hist=l_hist)
+
+        # depth supervision on the network output (separate phase) or the
+        # BA result (joint phase)
+        cs = f_src["jac_flat"].shape[-1]
+        h, w = cam.height, cam.width
+        if joint:
+            kf0 = photometric.PhotoKf0(
+                loc1d=f_src["loc1d"], homo0=f_src["homo"],
+                bias_flat=f_src["bias_flat"], jac_flat=f_src["jac_flat"],
+                feat_pyr=f_src["feat_pyr"],
+            )
+            fr1 = photometric.PhotoFr1(
+                feat_pyr=f_close["feat_pyr"], grad_pyr=f_close["grad_pyr"],
+                mask_flat=mask.reshape(-1),
+            )
+            geo0 = geometric.GeoKf0(
+                loc1d=f_src["loc1d"], homo0=f_src["homo"],
+                bias_flat=f_src["bias_flat"], jac_flat=f_src["jac_flat"],
+            )
+            geo1 = geometric.GeoKf1(
+                bias_flat=f_close["bias_flat"], jac_flat=f_close["jac_flat"],
+                mask_flat=mask.reshape(-1),
+            )
+            init = diff_ba.BAState(
+                tau10=jnp.zeros(6),
+                code0=jnp.zeros(cs),
+                code1=jnp.zeros(cs),
+                scale0=jnp.asarray(1.0),
+            )
+            final, _ = diff_ba.two_frame_ba(
+                gen_params["ba"], kf0, fr1, geo0, geo1, cam_pyr, init,
+                num_iters=cfg.ba_iters,
+            )
+            pred_depth, pred_flow = diff_ba.ba_outputs(
+                final, f_src["bias_flat"], f_src["jac_flat"], cam
+            )
+            gt_flow = batch["gt_flow"]  # [2, h, w]
+            l_flow = losses.normalized_masked_l2_flow_loss(
+                gt_flow[None], pred_flow[None], mask[None, None]
+            )
+            total = total + cfg.flow_weight * l_flow
+            aux["flow"] = l_flow
+        else:
+            pred_depth = f_src["bias_flat"].reshape(h, w)
+
+        l_depth = losses.scale_invariant_depth_loss(
+            batch["depth_src"][None], pred_depth[None], mask[None]
+        )
+        basis = f_src["jac_flat"].T.reshape(1, cs, h, w)
+        l_decor = losses.basis_decorrelation_loss(basis, mask[None, None])
+        total = total + cfg.depth_weight * l_depth + cfg.decor_weight * l_decor
+        aux.update(depth=l_depth, decor=l_decor)
+
+        # adversarial generator term (training.py:676)
+        disc_in = jnp.concatenate(
+            [
+                jax.image.resize(batch["image_src"], (3, h, w), "linear"),
+                pred_depth[None],
+            ],
+            axis=0,
+        )
+        d_fake = discriminator.apply(disc_params, disc_in)
+        l_adv = discriminator.lsgan_g_loss(d_fake)
+        total = total + cfg.g_adv_weight * l_adv
+        aux["g_adv"] = l_adv
+        aux["pred_depth"] = pred_depth
+        return total, aux
+
+    return loss_fn
+
+
+def make_train_step(cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx, disc_tx, joint):
+    loss_fn = make_loss_fn(cam_pyr, depth_cfg, feat_cfg, cfg, joint)
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        gen_params = {k: v for k, v in state.params.items() if k != "disc"}
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gen_params, state.params["disc"], batch, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+
+        # discriminator LSGAN step (training.py:702-720)
+        h, w = cam_pyr[0].height, cam_pyr[0].width
+
+        def d_loss_fn(disc_params):
+            real = jnp.concatenate(
+                [
+                    jax.image.resize(batch["image_src"], (3, h, w), "linear"),
+                    batch["depth_src"][None],
+                ],
+                axis=0,
+            )
+            fake = jnp.concatenate(
+                [
+                    jax.image.resize(batch["image_src"], (3, h, w), "linear"),
+                    jax.lax.stop_gradient(aux["pred_depth"])[None],
+                ],
+                axis=0,
+            )
+            d_real = discriminator.apply(disc_params, real)
+            d_fake = discriminator.apply(disc_params, fake)
+            return discriminator.lsgan_d_loss(d_real, d_fake)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.params["disc"])
+        d_updates, disc_opt_state = disc_tx.update(
+            d_grads, state.disc_opt_state, state.params["disc"]
+        )
+        disc_params = optax.apply_updates(state.params["disc"], d_updates)
+
+        new_params = dict(gen_params)
+        new_params["disc"] = disc_params
+        aux_out = {k: v for k, v in aux.items() if k != "pred_depth"}
+        aux_out["d_loss"] = d_loss
+        return (
+            TrainState(
+                params=new_params,
+                opt_state=opt_state,
+                disc_opt_state=disc_opt_state,
+                step=state.step + 1,
+                epoch=state.epoch,
+            ),
+            loss,
+            aux_out,
+        )
+
+    return step
+
+
+def triplet_to_batch(t: Triplet, cam) -> dict:
+    """Host-side conversion incl. GT rigid flow for the joint phase."""
+    h, w = t.depth_src.shape
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    z = np.maximum(t.depth_src, 1e-6)
+    x3 = (xs - cam.cx) / cam.fx * z
+    y3 = (ys - cam.cy) / cam.fy * z
+    pts = np.stack([x3, y3, z, np.ones_like(z)], 0).reshape(4, -1)
+    warped = t.rel_pose_close_src @ pts
+    u = warped[0] / np.maximum(warped[2], 1e-6) * cam.fx + cam.cx
+    v = warped[1] / np.maximum(warped[2], 1e-6) * cam.fy + cam.cy
+    gt_flow = np.stack(
+        [u.reshape(h, w) - xs, v.reshape(h, w) - ys], 0
+    ).astype(np.float32)
+    return dict(
+        image_src=jnp.asarray(t.image_src),
+        image_close=jnp.asarray(t.image_close),
+        image_far=jnp.asarray(t.image_far),
+        mask=jnp.asarray(t.mask),
+        depth_src=jnp.asarray(t.depth_src),
+        keypoints_src=jnp.asarray(t.keypoints_src),
+        gt_match_close=jnp.asarray(t.gt_match_close),
+        gt_flow=jnp.asarray(gt_flow),
+    )
+
+
+def save_checkpoint(path: str, state: TrainState):
+    """npz checkpoint with step/epoch resume (training.py:408-420)."""
+    flat, treedef = jax.tree.flatten(state.params)
+    np.savez(
+        path,
+        *[np.asarray(x) for x in flat],
+        step=int(state.step),
+        epoch=state.epoch,
+    )
+
+
+def load_checkpoint(path: str, state: TrainState) -> TrainState:
+    data = np.load(path)
+    flat, treedef = jax.tree.flatten(state.params)
+    arrays = [data[f"arr_{i}"] for i in range(len(flat))]
+    params = jax.tree.unflatten(
+        treedef, [jnp.asarray(a) for a in arrays]
+    )
+    return state._replace(
+        params=params,
+        step=jnp.asarray(int(data["step"])),
+        epoch=int(data["epoch"]),
+    )

@@ -1,0 +1,162 @@
+"""Training subsystem smoke tests: losses vs torch, one train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from sage_slam_tpu.geometry.camera import CameraPyramid
+from sage_slam_tpu.models import depth_network, feature_network
+from sage_slam_tpu.training import dataset, diff_ba, discriminator, losses, train
+
+
+def test_scale_invariant_depth_loss_matches_torch():
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.5, 2, (2, 8, 10)).astype(np.float32)
+    pred = rng.uniform(0.5, 2, (2, 8, 10)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 8, 10)) > 0.2).astype(np.float32)
+    ours = float(
+        losses.scale_invariant_depth_loss(
+            jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(mask)
+        )
+    )
+    # torch transcription (DepthLoss.py:4-22)
+    tg, tp, tm = (torch.from_numpy(x)[:, None] for x in (gt, pred, mask))
+    ratio = torch.log(torch.clamp_min(tm * tp, 1e-3)) - torch.log(
+        torch.clamp_min(tm * tg, 1e-3)
+    )
+    ws = tm.sum(dim=(1, 2, 3))
+    l1 = (ratio**2).sum(dim=(1, 2, 3)) / ws
+    s2 = ratio.sum(dim=(1, 2, 3))
+    ref = float((l1 + s2 * s2 / (ws * ws)).mean())
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_basis_decorrelation_loss_range():
+    rng = np.random.default_rng(1)
+    # identical channels -> zncc = 1 everywhere -> loss 1
+    b = np.tile(rng.standard_normal((1, 1, 8, 10)), (1, 4, 1, 1)).astype(np.float32)
+    mask = np.ones((1, 1, 8, 10), np.float32)
+    l_same = float(losses.basis_decorrelation_loss(jnp.asarray(b), jnp.asarray(mask)))
+    assert abs(l_same - 1.0) < 1e-4
+    # independent random channels -> much lower
+    b2 = rng.standard_normal((1, 4, 32, 40)).astype(np.float32)
+    l_ind = float(
+        losses.basis_decorrelation_loss(
+            jnp.asarray(b2), jnp.asarray(np.ones((1, 1, 32, 40), np.float32))
+        )
+    )
+    assert l_ind < 0.5
+
+
+def test_rr_loss_decreases_for_matching_descriptors():
+    rng = np.random.default_rng(2)
+    hw, c = 80, 8
+    d0 = rng.standard_normal((hw, c)).astype(np.float32)
+    kp = np.array([3, 10, 50])
+    gt = np.array([3, 10, 50])
+    # identical maps: correct location has max response
+    l_good = float(
+        losses.rr_loss(jnp.asarray(d0), jnp.asarray(d0), jnp.asarray(kp), jnp.asarray(gt), 10.0)
+    )
+    gt_bad = np.array([7, 20, 60])
+    l_bad = float(
+        losses.rr_loss(jnp.asarray(d0), jnp.asarray(d0), jnp.asarray(kp), jnp.asarray(gt_bad), 10.0)
+    )
+    assert l_good < l_bad
+
+
+def test_diff_ba_is_differentiable():
+    """Gradients of the BA result w.r.t. the learnable params flow."""
+    from sage_slam_tpu.geometry.camera import PinholeCamera
+    from sage_slam_tpu.geometry.interp import locations_1d_to_homo
+    from sage_slam_tpu.ops import geometric, photometric
+    from sage_slam_tpu.ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
+
+    rng = np.random.default_rng(3)
+    h, w, cs, fs, L, n = 16, 20, 4, 4, 2, 48
+    cam = PinholeCamera(fx=w * 1.1, fy=w * 1.1, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h)
+    pyr = CameraPyramid.build(cam, L)
+    feat = jnp.asarray(rng.standard_normal((fs, h, w)).astype(np.float32) * 0.3)
+    mask = jnp.ones((h, w))
+    masks = mask_pyramid(mask, L)
+    fpyr, gpyr = gaussian_pyramid_with_grad(feat, masks, L)
+    bias = jnp.asarray(rng.uniform(0.8, 1.5, h * w).astype(np.float32))
+    jac = jnp.asarray((rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32))
+    loc = jnp.asarray(rng.choice(h * w, n, replace=False).astype(np.int32))
+    homo = locations_1d_to_homo(loc, cam)
+
+    kf0 = photometric.PhotoKf0(loc, homo, bias, jac, fpyr)
+    fr1 = photometric.PhotoFr1(fpyr, gpyr, mask.reshape(-1))
+    g0 = geometric.GeoKf0(loc, homo, bias, jac)
+    g1 = geometric.GeoKf1(bias, jac, mask.reshape(-1))
+    init = diff_ba.BAState(
+        tau10=jnp.zeros(6), code0=jnp.zeros(cs), code1=jnp.zeros(cs),
+        scale0=jnp.asarray(1.0),
+    )
+    params = diff_ba.BAParams.init(L)
+
+    def loss(p):
+        final, errs = diff_ba.two_frame_ba(
+            p, kf0, fr1, g0, g1, pyr, init, num_iters=2
+        )
+        return jnp.sum(final.code0**2) + jnp.sum(final.tau10**2) + errs[-1]
+
+    g = jax.grad(loss)(params)
+    flat, _ = jax.tree.flatten(g)
+    assert all(np.all(np.isfinite(np.array(x))) for x in flat)
+    # at least one param receives signal
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_train_step_runs_both_phases():
+    h, w = 16, 20
+    cs, fs = 4, 8
+    cam_pyr = CameraPyramid.build(
+        dataset.SyntheticTripletDataset(h, w).cam, 2
+    )
+    depth_cfg = depth_network.DepthNetConfig(
+        filter_list=(4, 8), bottleneck=8, bias_inner=(8, 1),
+        basis_inner=((8, cs),),
+    )
+    feat_cfg = feature_network.FeatureNetConfig(
+        filter_list=(4, 8), bottleneck=8, desc_inner=(8, fs),
+        map_inner=(8, fs),
+    )
+    disc_cfg = discriminator.DiscConfig(
+        img_height=h, img_width=w, num_blocks=2, filter_base=4
+    )
+    cfg = train.TrainConfig(pyramid_levels=2, ba_iters=2, num_photo_samples=32)
+    state, tx, disc_tx = train.init_state(
+        jax.random.key(0), depth_cfg, feat_cfg, disc_cfg, cfg
+    )
+    ds = dataset.SyntheticTripletDataset(h, w, num_keypoints=16)
+    batch = train.triplet_to_batch(ds.sample(), ds.cam)
+
+    for joint in (False, True):
+        step = train.make_train_step(
+            cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx, disc_tx, joint
+        )
+        state2, loss, aux = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(loss)), (joint, aux)
+        assert np.isfinite(float(aux["d_loss"]))
+        # params actually changed
+        delta = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params["depth"], state2.params["depth"],
+        )
+        flat, _ = jax.tree.flatten(delta)
+        assert max(flat) > 0
+        state = state2
+
+    # checkpoint roundtrip
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        train.save_checkpoint(path, state)
+        restored = train.load_checkpoint(path, state)
+        np.testing.assert_allclose(
+            np.array(restored.params["log_sigma"]),
+            np.array(state.params["log_sigma"]),
+        )
