@@ -1,0 +1,127 @@
+"""Threaded SLAM driver — the LiveDemo + thread-backend equivalent.
+
+Wires the SlamSystem onto the native C++ runtime the way the reference
+wires DeepFactors onto pthreads (live_demo.cpp:52-258,
+deepfactors.cpp:1495-1505):
+
+* main thread: frame loop (ProcessFrame),
+* mapping worker @ mapping_update_frequency Hz: drains the keyframe
+  queue, runs Mapper.mapping_step,
+* loop worker @ loop_detection_frequency Hz: local + global loop
+  detection on the newest unsearched keyframe, pose-scale graph on
+  accepted global loops.
+
+JAX dispatch is thread-safe; device programs serialize on the chip but
+host-side orchestration overlaps, matching the reference's design where
+one GPU serializes the actual kernels anyway (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+from .. import native
+from ..utils import timing
+from .slam import SlamSystem
+
+
+class SlamDriver:
+    def __init__(self, system: SlamSystem, use_native_threads: bool = True):
+        self.system = system
+        self.use_native = use_native_threads
+        self.runtime: Optional[native.Runtime] = None
+        self.kf_queue: Optional[native.TaskQueue] = None
+        self._lock = threading.Lock()
+        self._running = False
+
+    # ------------------------------------------------------------------
+
+    def start(self):
+        """Spawn mapping + loop backends (deepfactors.cpp:1495-1505)."""
+        if not self.use_native:
+            return
+        self.runtime = native.Runtime()
+        self.kf_queue = native.TaskQueue()
+        m_hz = self.system.cfg.mapper.update_frequency
+        l_hz = self.system.cfg.loop.detection_frequency
+        self.runtime.spawn("mapping", self._mapping_tick, m_hz)
+        self.runtime.spawn("loop", self._loop_tick, l_hz)
+        self._running = True
+
+    def stop(self):
+        if self.runtime is not None:
+            self.kf_queue.close()
+            self.runtime.stop_all()
+            self.runtime.join_all()
+            self.runtime.close()
+            self.runtime = None
+        self._running = False
+
+    # ------------------------------------------------------------------
+
+    def _mapping_tick(self):
+        timing.tic("mapping_tick")
+        try:
+            with self._lock:
+                if self.system.store.num_active >= 2:
+                    self.system.mapper.mapping_step()
+        finally:
+            timing.toc("mapping_tick")
+
+    def _loop_tick(self):
+        item = self.kf_queue.pop(timeout_ms=50) if self.kf_queue else -1
+        if item < 0:
+            return
+        kf_id = int(item)
+        with self._lock:
+            if self.system.cfg.loop.use_local_loop:
+                info = self.system.detect_local_loop(kf_id)
+                if info.detected:
+                    self.system.mapper.enqueue_link(
+                        kf_id, info.id_ref,
+                        self.system.cfg.mapper.use_photometric,
+                        self.system.cfg.mapper.use_reprojection,
+                        self.system.cfg.mapper.use_geometric,
+                        False,
+                    )
+            if (
+                self.system.cfg.loop.use_global_loop
+                and self.system.bow_db is not None
+            ):
+                loops = self.system.detect_global_loop(kf_id)
+                if loops:
+                    self.system.close_global_loops(kf_id, loops)
+
+    # ------------------------------------------------------------------
+
+    def run(self, camera_interface, max_frames: Optional[int] = None):
+        """The ProcessingLoop (live_demo.cpp:145-258): bootstrap on the
+        first frame, process the rest, final RefineMapping."""
+        self.start()
+        results = []
+        try:
+            for i, rec in enumerate(camera_interface.frames()):
+                if max_frames is not None and i >= max_frames:
+                    break
+                import jax.numpy as jnp
+
+                img = jnp.asarray(rec.image)
+                if self.system.store.num_active == 0:
+                    self.system.bootstrap(rec.timestamp, img)
+                    continue
+                timing.tic("process_frame")
+                with self._lock:
+                    res = self.system.process_frame(rec.timestamp, img)
+                timing.toc("process_frame")
+                results.append(res)
+                if res.new_keyframe:
+                    if self.kf_queue is not None:
+                        self.kf_queue.push(res.keyframe_id)
+                    if not self.use_native:
+                        self.system.mapper.mapping_step()
+        finally:
+            self.stop()
+        # final refinement (live_demo.cpp:252-257)
+        self.system.refine_mapping()
+        return results
