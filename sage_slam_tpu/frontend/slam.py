@@ -61,6 +61,19 @@ class FrameResult:
     average_motion: float
     desc_inlier_ratio: float
     tracker_error: float
+    tracking_lost: bool = False
+
+
+@dataclasses.dataclass
+class SlamStatistics:
+    """DeepFactorsStatistics (deepfactors.h:38-45): pushed to the stats
+    callback after every frame for observability/GUI."""
+
+    inlier_ratio: float = 0.0
+    area_ratio: float = 0.0
+    pose_distance: float = 0.0
+    tracker_error: float = 0.0
+    num_keyframes: int = 0
 
 
 class SlamSystem:
@@ -95,6 +108,8 @@ class SlamSystem:
         self.global_loops: dict = {}  # (id0,id1) -> (scale0, scale1)
         self.force_keyframe = False
         self._visited: List[int] = []
+        self.stats_callback = None  # receives SlamStatistics per frame
+        self.pose_callback = None  # receives (timestamp, SE3) per frame
 
         self._track_fns = {}
         self._sample_feats_fn = jax.jit(
@@ -262,12 +277,37 @@ class SlamSystem:
         fr.pose = frame_pose
         self.trajectory.append((timestamp, frame_pose))
 
-        new_kf = self._new_keyframe_required(
+        # tracking-lost detection (CheckTrackingLost,
+        # deepfactors_options.h:53-55)
+        lost = (
+            float(res.error) > self.cfg.tracking_lost_min_error
+            or area_ratio < self.cfg.tracking_lost_max_area_ratio
+            or inlier_ratio < self.cfg.tracking_lost_max_inlier_ratio
+        )
+
+        new_kf = (not lost) and self._new_keyframe_required(
             area_ratio, inlier_ratio, avg_motion, desc_ratio
         )
         kf_created = -1
         if new_kf:
             kf_created = self._create_keyframe(fr)
+
+        if self.pose_callback is not None:
+            self.pose_callback(timestamp, frame_pose)
+        if self.stats_callback is not None:
+            self.stats_callback(
+                SlamStatistics(
+                    inlier_ratio=inlier_ratio,
+                    area_ratio=area_ratio,
+                    pose_distance=float(
+                        se3m.pose_distance(
+                            self.store.pose(self.curr_kf), frame_pose, 1.0, 1.0
+                        )
+                    ),
+                    tracker_error=float(res.error),
+                    num_keyframes=self.store.num_active,
+                )
+            )
 
         return FrameResult(
             pose=frame_pose,
@@ -279,6 +319,7 @@ class SlamSystem:
             average_motion=avg_motion,
             desc_inlier_ratio=desc_ratio,
             tracker_error=float(res.error),
+            tracking_lost=lost,
         )
 
     def _new_keyframe_required(

@@ -153,7 +153,6 @@ def tracker_photo_jac_error(
             axis=-2,
         )  # [N, 2, 3]
         j2d = jnp.einsum("nij,njk->nik", pj, jac_rel)  # [N, 2, 6]
-        feat_jac = jnp.einsum("dcn,ndp->ncp", g1, j2d)  # [N, C, 6]
         if scale0 is not None:
             jdpt = jnp.stack(
                 [
@@ -163,15 +162,16 @@ def tracker_photo_jac_error(
                 axis=-1,
             )  # [N, 2]
             jscale2d = jdpt * (ref.photo_dpts0 / scale0)[:, None]
-            jscale = jnp.einsum("dcn,nd->nc", g1, jscale2d)  # [N, C]
-            rows = jnp.concatenate([feat_jac, jscale[..., None]], axis=-1)
+            k_rows = jnp.concatenate([j2d, jscale2d[..., None]], axis=-1)
         else:
-            rows = feat_jac
-        rows2 = rows.reshape(-1, dim)
-        diff2 = diff.T.reshape(-1)
+            k_rows = j2d  # [N, 2, dim]
+        # channel-sum collapse via the per-point 2x2 gradient Gram (see
+        # ops/photometric.py) — same algebra as the reference reduction
+        gram = jnp.einsum("dcn,ecn->nde", g1, g1)  # [N, 2, 2]
+        h_vec = jnp.einsum("dcn,cn->nd", g1, diff)  # [N, 2]
         wl = jnp.asarray(weights[lvl], dtype)
-        ata = ata + wl * (rows2.T @ rows2)
-        atb = atb + wl * (rows2.T @ diff2)
+        ata = ata + wl * jnp.einsum("nap,nab,nbq->pq", k_rows, gram, k_rows)
+        atb = atb + wl * jnp.einsum("nap,na->p", k_rows, h_vec)
         err_total = err_total + wl * jnp.sum(err_pt)
 
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
