@@ -149,9 +149,7 @@ class SlamSystem:
         return TrackerRef(
             photo_homo0=self.store.row("homo", kf_id),
             photo_dpts0=jnp.take(depth, loc1d),
-            cat_photo_feats0=self._sample_feats_fn(
-                self.store.row("feat_pyr", kf_id), loc1d
-            ),
+            cat_photo_feats0=self.store.row("src_feats", kf_id),
         )
 
     def _target(self, fr: FrameData) -> TrackerTarget:
@@ -422,6 +420,7 @@ class SlamSystem:
             feat_pyr=self.store.row("feat_pyr", kf_id),
             grad_pyr=self.store.row("grad_pyr", kf_id),
             feat_desc_flat=self.store.row("feat_desc", kf_id),
+            src_feats=self.store.row("src_feats", kf_id),
             loc1d=self.store.row("loc1d", kf_id),
             homo=self.store.row("homo", kf_id),
             avg_sq_bias=float(self.store.row("avg_sq_bias", kf_id)),

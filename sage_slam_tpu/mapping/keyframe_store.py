@@ -69,6 +69,7 @@ class FrameData:
     feat_pyr: jax.Array  # [C, T]
     grad_pyr: jax.Array  # [2, C, T]
     feat_desc_flat: jax.Array  # [HW, C]
+    src_feats: jax.Array  # [L, N, C] per-level sampled source features
     loc1d: jax.Array  # [N] sampled photometric pixels
     homo: jax.Array  # [N, 3]
     avg_sq_bias: float
@@ -86,6 +87,7 @@ class KeyframeStore:
         cs: int,
         fs: int,
         total_pyr: int,
+        levels: int = 4,
         dtype=jnp.float32,
     ):
         self.capacity = capacity
@@ -101,6 +103,7 @@ class KeyframeStore:
         self.bias_flat = jnp.zeros((k, hw), dtype)
         self.jac_flat = jnp.zeros((k, hw, cs), dtype)
         self.feat_pyr = jnp.zeros((k, fs, total_pyr), dtype)
+        self.src_feats = jnp.zeros((k, levels, num_samples, fs), dtype)
         self.grad_pyr = jnp.zeros((k, 2, fs, total_pyr), dtype)
         self.feat_desc = jnp.zeros((k, hw, fs), dtype)
         self.avg_sq_bias = jnp.zeros((k,), dtype)
@@ -132,6 +135,7 @@ class KeyframeStore:
         self.bias_flat = set_row(self.bias_flat, i, fr.bias_flat)
         self.jac_flat = set_row(self.jac_flat, i, fr.jac_flat)
         self.feat_pyr = set_row(self.feat_pyr, i, fr.feat_pyr)
+        self.src_feats = set_row(self.src_feats, i, fr.src_feats)
         self.grad_pyr = set_row(self.grad_pyr, i, fr.grad_pyr)
         self.feat_desc = set_row(self.feat_desc, i, fr.feat_desc_flat)
         self.avg_sq_bias = set_row(
@@ -170,6 +174,7 @@ class KeyframeStore:
             jac_flat=self.jac_flat,
             feat_pyr=self.feat_pyr,
             grad_pyr=self.grad_pyr,
+            src_feats=self.src_feats,
             avg_sq_bias=self.avg_sq_bias,
             mask_flat=mask_flat,
         )

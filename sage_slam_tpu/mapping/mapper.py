@@ -75,6 +75,7 @@ class Mapper:
             cs=cfg.code_size,
             fs=cfg.feat_size,
             total_pyr=cam_pyr.total_pixels,
+            levels=cam_pyr.levels,
         )
         # valid pixel ids of the static mask (GenerateValidLocations)
         valid = np.flatnonzero(np.array(video_mask).reshape(-1) > 0.5)
@@ -118,6 +119,9 @@ class Mapper:
         avg_sq = jnp.sum((bias_flat * self.mask_flat) ** 2) / jnp.sum(
             self.mask_flat
         )
+        from ..tracker.tracker import _sample_source_features
+
+        src_feats = _sample_source_features(feat_pyr, loc1d, self.cam_pyr)
         c = fdesc.shape[0]
         return (
             bias_flat,
@@ -125,6 +129,7 @@ class Mapper:
             feat_pyr,
             grad_pyr,
             fdesc.reshape(c, -1).T,
+            src_feats,
             loc1d,
             homo,
             avg_sq,
@@ -135,7 +140,8 @@ class Mapper:
     ) -> FrameData:
         key = jax.random.key(int(timestamp * 1e6) & 0x7FFFFFFF)
         (
-            bias_flat, jac_flat, feat_pyr, grad_pyr, desc, loc1d, homo, avg_sq
+            bias_flat, jac_flat, feat_pyr, grad_pyr, desc, src_feats, loc1d,
+            homo, avg_sq
         ) = self._build_frame_jit(image, key)
         return FrameData(
             timestamp=timestamp,
@@ -144,6 +150,7 @@ class Mapper:
             feat_pyr=feat_pyr,
             grad_pyr=grad_pyr,
             feat_desc_flat=desc,
+            src_feats=src_feats,
             loc1d=loc1d,
             homo=homo,
             avg_sq_bias=float(avg_sq),

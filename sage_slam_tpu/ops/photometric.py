@@ -34,13 +34,20 @@ from .depth import decode_depth_at
 
 
 class PhotoKf0(NamedTuple):
-    """Source-keyframe data for a photometric edge."""
+    """Source-keyframe data for a photometric edge.
+
+    src_feats caches the keyframe's own features bilinearly sampled at its
+    sampled points per level — they do not depend on the optimization
+    variables, so they are computed once per keyframe instead of per
+    linearization (the reference re-samples them inside every kernel
+    launch, photometric_factor_kernels.cpp:118-139; the values are
+    identical)."""
 
     loc1d: jax.Array  # [N] int32 sampled pixel indices (full res)
     homo0: jax.Array  # [N, 3] homogeneous rays of those pixels
     bias_flat: jax.Array  # [HW]
     jac_flat: jax.Array  # [HW, CS]
-    feat_pyr: jax.Array  # [C, T] concatenated feature pyramid
+    src_feats: jax.Array  # [L, N, C] per-level sampled source features
 
 
 class PhotoFr1(NamedTuple):
@@ -68,6 +75,18 @@ def _per_level_samples(
     )
 
 
+def sample_source_features(feat_pyr, loc1d, cam_pyr: CameraPyramid):
+    """Precompute PhotoKf0.src_feats: the keyframe's own features sampled
+    at its photometric points for every level -> [L, N, C]."""
+    cam0 = cam_pyr[0]
+    x0, y0 = interp.locations_1d_to_2d(loc1d, cam0.width)
+    out = []
+    for lvl in range(cam_pyr.levels):
+        f = _per_level_samples(cam_pyr, lvl, x0, y0, feat_pyr)  # [C, N]
+        out.append(f.T)
+    return jnp.stack(out, axis=0)
+
+
 def photometric_error(
     p0: SE3,
     p1: SE3,
@@ -92,14 +111,13 @@ def photometric_error(
     u1, v1 = residuals.project_full_res(
         w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
     )
-    x0, y0 = interp.locations_1d_to_2d(kf0.loc1d, cam0.width)
     within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
     pos = w.pos_depth.astype(within.dtype)
 
     err_total = jnp.zeros((), within.dtype)
     n_inl = jnp.zeros((), within.dtype)
     for lvl in range(cam_pyr.levels):
-        f0 = _per_level_samples(cam_pyr, lvl, x0, y0, kf0.feat_pyr)
+        f0 = kf0.src_feats[lvl].T  # [C, N]
         f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
         err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
@@ -139,7 +157,6 @@ def photometric_jac_error(
     u1, v1 = residuals.project_full_res(
         w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
     )
-    x0, y0 = interp.locations_1d_to_2d(kf0.loc1d, cam0.width)
     within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
     pos = w.pos_depth.astype(dtype)
     gate = pos * within  # [N]
@@ -155,7 +172,7 @@ def photometric_jac_error(
 
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
-        f0 = _per_level_samples(cam_pyr, lvl, x0, y0, kf0.feat_pyr)  # [C,N]
+        f0 = kf0.src_feats[lvl].T  # [C, N]
         f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
         # grad pyramid sampled at warped locations, gated (kernels :191-222)
         g_flat = fr1.grad_pyr.reshape(-1, fr1.grad_pyr.shape[-1])  # [2C, T]

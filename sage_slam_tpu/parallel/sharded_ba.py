@@ -165,6 +165,9 @@ def dryrun(n_devices: int) -> None:
     jac = (rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32)
     loc1d = rng.choice(h * w, size=n, replace=False).astype(np.int32)
     homo = np.array(locations_1d_to_homo(jnp.asarray(loc1d), cam))
+    from ..ops.photometric import sample_source_features
+
+    srcf = sample_source_features(fpyr, jnp.asarray(loc1d), pyr)
 
     window = ba.WindowData(
         loc1d=jnp.tile(jnp.asarray(loc1d)[None], (k, 1)),
@@ -173,6 +176,7 @@ def dryrun(n_devices: int) -> None:
         jac_flat=jnp.tile(jnp.asarray(jac)[None], (k, 1, 1)),
         feat_pyr=jnp.tile(fpyr[None], (k, 1, 1)),
         grad_pyr=jnp.tile(gpyr[None], (k, 1, 1, 1)),
+        src_feats=jnp.tile(srcf[None], (k, 1, 1, 1)),
         avg_sq_bias=jnp.full((k,), float(np.mean(bias**2))),
         mask_flat=jnp.asarray(mask.reshape(-1)),
     )

@@ -37,6 +37,7 @@ class WindowData(NamedTuple):
     jac_flat: jax.Array  # [K, HW, CS]
     feat_pyr: jax.Array  # [K, C, T]
     grad_pyr: jax.Array  # [K, 2, C, T]
+    src_feats: jax.Array  # [K, L, N, C] cached per-level source samples
     avg_sq_bias: jax.Array  # [K] masked mean of squared depth bias
     mask_flat: jax.Array  # [HW] shared video mask (full res)
 
@@ -97,7 +98,7 @@ def _gather_photo_inputs(window: WindowData, e: EdgeTable):
         homo0=window.homo[e.i0],
         bias_flat=window.bias_flat[e.i0],
         jac_flat=window.jac_flat[e.i0],
-        feat_pyr=window.feat_pyr[e.i0],
+        src_feats=window.src_feats[e.i0],
     )
     fr1 = photometric.PhotoFr1(
         feat_pyr=window.feat_pyr[e.i1],

@@ -56,20 +56,9 @@ def _sample_source_features(
 ):
     """Bilinear-sample the keyframe's own features at its sampled points
     for every level -> [L, N, C] (camera_tracker.cpp:1105-1121)."""
-    cam0 = cam_pyr[0]
-    x0, y0 = interp.locations_1d_to_2d(loc1d, cam0.width)
-    out = []
-    for lvl in range(cam_pyr.levels):
-        cam_l = cam_pyr[lvl]
-        rx = cam_l.fx / cam0.fx
-        ry = cam_l.fy / cam0.fy
-        xl, yl = interp.level_coords(x0, y0, rx, ry)
-        f = interp.bilinear_flat(
-            feat_pyr, xl, yl, cam_l.width, cam_l.height,
-            cam_pyr.level_offsets[lvl],
-        )  # [C, N]
-        out.append(f.T)
-    return jnp.stack(out, axis=0)  # [L, N, C]
+    from ..ops.photometric import sample_source_features
+
+    return sample_source_features(feat_pyr, loc1d, cam_pyr)
 
 
 def tracker_photo_jac_error(

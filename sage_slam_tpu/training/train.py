@@ -180,7 +180,9 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
             kf0 = photometric.PhotoKf0(
                 loc1d=f_src["loc1d"], homo0=f_src["homo"],
                 bias_flat=f_src["bias_flat"], jac_flat=f_src["jac_flat"],
-                feat_pyr=f_src["feat_pyr"],
+                src_feats=photometric.sample_source_features(
+                    f_src["feat_pyr"], f_src["loc1d"], cam_pyr
+                ),
             )
             fr1 = photometric.PhotoFr1(
                 feat_pyr=f_close["feat_pyr"], grad_pyr=f_close["grad_pyr"],

@@ -43,6 +43,9 @@ def build_problem(k=3, h=32, w=40, cs=4, fs=4, levels=3, n=256, seed=0):
     loc1d = rng.choice(h * w, size=n, replace=False).astype(np.int32)
     homo = np.array(locations_1d_to_homo(jnp.asarray(loc1d), cam))
 
+    from sage_slam_tpu.ops.photometric import sample_source_features
+
+    srcf = sample_source_features(fpyr, jnp.asarray(loc1d), pyr)
     window = ba.WindowData(
         loc1d=jnp.tile(jnp.asarray(loc1d)[None], (k, 1)),
         homo=jnp.tile(jnp.asarray(homo, jnp.float32)[None], (k, 1, 1)),
@@ -50,6 +53,7 @@ def build_problem(k=3, h=32, w=40, cs=4, fs=4, levels=3, n=256, seed=0):
         jac_flat=jnp.tile(jnp.asarray(jac)[None], (k, 1, 1)),
         feat_pyr=jnp.tile(fpyr[None], (k, 1, 1)),
         grad_pyr=jnp.tile(gpyr[None], (k, 1, 1, 1)),
+        src_feats=jnp.tile(srcf[None], (k, 1, 1, 1)),
         avg_sq_bias=jnp.full((k,), float(np.mean(bias**2))),
         mask_flat=jnp.asarray(mask.reshape(-1)),
     )

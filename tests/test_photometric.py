@@ -108,14 +108,17 @@ def make_scene(seed=0, n=64, h=16, w=20, cs=4, fs=3, levels=3, smooth=False):
 
 
 def to_jax_inputs(s):
+    feat0_pyr = jnp.concatenate(
+        [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat0_lv"]],
+        axis=-1,
+    )
     kf0 = photometric.PhotoKf0(
         loc1d=jnp.asarray(s["loc1d"]),
         homo0=jnp.asarray(s["homo"]),
         bias_flat=jnp.asarray(s["bias"]),
         jac_flat=jnp.asarray(s["jac"]),
-        feat_pyr=jnp.concatenate(
-            [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat0_lv"]],
-            axis=-1,
+        src_feats=photometric.sample_source_features(
+            feat0_pyr, jnp.asarray(s["loc1d"]), s["pyr"]
         ),
     )
     fr1 = photometric.PhotoFr1(

@@ -86,7 +86,10 @@ def test_diff_ba_is_differentiable():
     loc = jnp.asarray(rng.choice(h * w, n, replace=False).astype(np.int32))
     homo = locations_1d_to_homo(loc, cam)
 
-    kf0 = photometric.PhotoKf0(loc, homo, bias, jac, fpyr)
+    kf0 = photometric.PhotoKf0(
+        loc, homo, bias, jac,
+        photometric.sample_source_features(fpyr, loc, pyr),
+    )
     fr1 = photometric.PhotoFr1(fpyr, gpyr, mask.reshape(-1))
     g0 = geometric.GeoKf0(loc, homo, bias, jac)
     g1 = geometric.GeoKf1(bias, jac, mask.reshape(-1))
