@@ -40,6 +40,30 @@ def _set_row_jit(arr, i, val):
 
 
 @jax.jit
+def _set_ax1_jit(arr, i, val):
+    return jax.lax.dynamic_update_index_in_dim(
+        arr, val.astype(arr.dtype), i, 1
+    )
+
+
+@jax.jit
+def _set_ax2_jit(arr, i, val):
+    return jax.lax.dynamic_update_index_in_dim(
+        arr, val.astype(arr.dtype), i, 2
+    )
+
+
+@jax.jit
+def _get_ax1_jit(arr, i):
+    return jax.lax.dynamic_index_in_dim(arr, i, 1, keepdims=False)
+
+
+@jax.jit
+def _get_ax2_jit(arr, i):
+    return jax.lax.dynamic_index_in_dim(arr, i, 2, keepdims=False)
+
+
+@jax.jit
 def _depth_map_jit(bias, jac, code, scale, i):
     from ..ops.depth import decode_depth
 
@@ -102,9 +126,11 @@ class KeyframeStore:
         self.homo = jnp.zeros((k, num_samples, 3), dtype)
         self.bias_flat = jnp.zeros((k, hw), dtype)
         self.jac_flat = jnp.zeros((k, hw, cs), dtype)
-        self.feat_pyr = jnp.zeros((k, fs, total_pyr), dtype)
+        # pyramids are CHANNEL-major ([C, K, T]) so the flat shared view
+        # [C, K*T] used by the factor kernels is a free reshape
+        self.feat_pyr = jnp.zeros((fs, k, total_pyr), dtype)
         self.src_feats = jnp.zeros((k, levels, num_samples, fs), dtype)
-        self.grad_pyr = jnp.zeros((k, 2, fs, total_pyr), dtype)
+        self.grad_pyr = jnp.zeros((2, fs, k, total_pyr), dtype)
         self.feat_desc = jnp.zeros((k, hw, fs), dtype)
         self.avg_sq_bias = jnp.zeros((k,), dtype)
         # host-side metadata
@@ -134,9 +160,13 @@ class KeyframeStore:
         self.homo = set_row(self.homo, i, fr.homo)
         self.bias_flat = set_row(self.bias_flat, i, fr.bias_flat)
         self.jac_flat = set_row(self.jac_flat, i, fr.jac_flat)
-        self.feat_pyr = set_row(self.feat_pyr, i, fr.feat_pyr)
+        self.feat_pyr = _set_ax1_jit(
+            self.feat_pyr, jnp.asarray(i, jnp.int32), fr.feat_pyr
+        )
         self.src_feats = set_row(self.src_feats, i, fr.src_feats)
-        self.grad_pyr = set_row(self.grad_pyr, i, fr.grad_pyr)
+        self.grad_pyr = _set_ax2_jit(
+            self.grad_pyr, jnp.asarray(i, jnp.int32), fr.grad_pyr
+        )
         self.feat_desc = set_row(self.feat_desc, i, fr.feat_desc_flat)
         self.avg_sq_bias = set_row(
             self.avg_sq_bias, i, jnp.asarray(fr.avg_sq_bias)
@@ -215,6 +245,10 @@ class KeyframeStore:
 
     def row(self, name: str, i: int):
         """Dynamic-index read of any stacked per-keyframe array."""
+        if name == "feat_pyr":
+            return _get_ax1_jit(self.feat_pyr, jnp.asarray(i, jnp.int32))
+        if name == "grad_pyr":
+            return _get_ax2_jit(self.grad_pyr, jnp.asarray(i, jnp.int32))
         return get_row(getattr(self, name), i)
 
     def depth_map(self, i: int) -> jax.Array:

@@ -1,12 +1,12 @@
 """Geometric (depth-consistency) factor — Cauchy-robustified.
 
 Reference: cuda/geometric_factor_kernels.cpp (biased variant, :474-718 —
-the active path, geometric_factor.cpp:335-347) + host reduce (:833-920-ish).
+the active path, geometric_factor.cpp:335-347) + host reduce.
 
 Residual per sampled point of kf0 warped into kf1:
   r = within_mask * (d1_sampled - z1),
-where z1 is the warped depth and d1_sampled is kf1's *scaled* decoded depth
-bilinearly sampled at the warped pixel. Robustification stores
+where z1 is the warped depth and d1_sampled is kf1's *scaled* decoded
+depth bilinearly sampled at the warped pixel. Robustification stores
 ``sqrt_w * r`` and ``sqrt_w * J`` with
 ``sqrt_w = within * sqrt(1 / (r_raw^2 + loss_param))`` gated by z1 > eps;
 the *error* is the true Cauchy cost ``log(1 + (within*r)^2 / loss_param)``.
@@ -18,6 +18,8 @@ Hessian block layout (dim 14+2CS):
   [0:6] pose0, [6:12] pose1, [12:12+CS] code0, [12+CS:12+2CS] code1,
   [12+2CS] scale0, [13+2CS] scale1  (geometric_factor.h:70).
 
+Memory layout: per-keyframe depth tables come from SHARED flat arrays
+(GeoShared) indexed by per-edge base offsets (see ops/photometric.py).
 Operates at full output resolution (single level).
 """
 
@@ -32,30 +34,79 @@ from ..geometry import interp
 from ..geometry.camera import PinholeCamera
 from ..geometry.se3 import SE3
 from . import residuals
-from .depth import decode_depth_at
+
+
+class GeoShared(NamedTuple):
+    """Shared flat depth tables: bias_flat [K*HW], jac_flat [K*HW, CS],
+    mask_flat [HW]."""
+
+    bias_flat: jax.Array
+    jac_flat: jax.Array
+    mask_flat: jax.Array
 
 
 class GeoKf0(NamedTuple):
     loc1d: jax.Array  # [N] int32
     homo0: jax.Array  # [N, 3]
-    bias_flat: jax.Array  # [HW]
-    jac_flat: jax.Array  # [HW, CS]
+    base_hw: jax.Array  # scalar int32 kf0_index * HW
 
 
 class GeoKf1(NamedTuple):
-    bias_flat: jax.Array  # [HW]
-    jac_flat: jax.Array  # [HW, CS]
-    mask_flat: jax.Array  # [HW]
+    base_hw: jax.Array  # scalar int32 kf1_index * HW
 
 
-def _decode_maps_1(kf1: GeoKf1, code1, scale1, height, width):
-    """scale1 * (bias1 + J1 @ code1) plus its spatial gradient
+def _bilinear_scalar(flat, x, y, width, height, base):
+    """Zero-padding bilinear of a flat scalar field [M] with offset."""
+    return interp.bilinear_flat(flat[None], x, y, width, height, base)[0]
+
+
+def _bilinear_rows(table, x, y, width, height, base):
+    """Zero-padding bilinear of per-pixel ROWS table [M, C] -> [N, C]
+    (row gathers, no transpose of the shared table needed)."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx0, wy0 = x1 - x, y1 - y
+    wx1, wy1 = 1.0 - wx0, 1.0 - wy0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+
+    def corner(xi, yi, wgt):
+        inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        idx = base + jnp.clip(yi, 0, height - 1) * width + jnp.clip(
+            xi, 0, width - 1
+        )
+        vals = jnp.take(table, idx, axis=0)  # [N, C]
+        return vals * (wgt * inb.astype(table.dtype))[:, None]
+
+    return (
+        corner(xi0, yi0, wx0 * wy0)
+        + corner(xi0 + 1, yi0 + 1, wx1 * wy1)
+        + corner(xi0, yi0 + 1, wx0 * wy1)
+        + corner(xi0 + 1, yi0, wx1 * wy0)
+    )
+
+
+def _decode_depth0(shared: GeoShared, kf0: GeoKf0, code0, scale0):
+    loc = kf0.base_hw + kf0.loc1d
+    bias = jnp.take(shared.bias_flat, loc)
+    jac = jnp.take(shared.jac_flat, loc, axis=0)
+    return scale0 * (bias + jac @ code0), jac
+
+
+def _decode_frame1(shared: GeoShared, kf1: GeoKf1, code1, scale1, hw, h, w):
+    """Full-frame scaled depth + spatial grad of kf1
     (geometric_factor.cpp:317-320, 340-341)."""
     from .pyramid import spatial_grad
 
-    unscaled = (kf1.bias_flat + kf1.jac_flat @ code1).reshape(height, width)
+    bias1 = jax.lax.dynamic_slice(shared.bias_flat, (kf1.base_hw,), (hw,))
+    jac1 = jax.lax.dynamic_slice(
+        shared.jac_flat, (kf1.base_hw, 0), (hw, shared.jac_flat.shape[-1])
+    )
+    unscaled = (bias1 + jac1 @ code1).reshape(h, w)
     grad = spatial_grad(unscaled[None])[:, 0]  # [2, H, W]
-    return scale1 * unscaled, scale1 * grad
+    return scale1 * unscaled.reshape(-1), scale1 * grad.reshape(2, -1), jac1
 
 
 def geometric_jac_error(
@@ -67,31 +118,34 @@ def geometric_jac_error(
     scale1: jax.Array,
     kf0: GeoKf0,
     kf1: GeoKf1,
+    shared: GeoShared,
     cam: PinholeCamera,
     factor_weight: float,
     loss_param,
     eps: float,
 ):
     """Returns (AtA [D,D], Atb [D], error, n_inliers), D = 14+2CS."""
-    cs = kf0.jac_flat.shape[-1]
+    cs = shared.jac_flat.shape[-1]
     dim = 14 + 2 * cs
     dtype = kf0.homo0.dtype
     h, w = cam.height, cam.width
+    hw = h * w
 
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0 = decode_depth_at(kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0)
+    depth0, jac_code0_at = _decode_depth0(shared, kf0, code0, scale0)
     warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     u1, v1 = residuals.project_full_res(
         warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
     )
 
-    dpt_map_1, dpt_grad_1 = _decode_maps_1(kf1, code1, scale1, h, w)
-    d1 = interp.bilinear_flat(dpt_map_1.reshape(1, -1), u1, v1, w, h)[0]  # [N]
-    g1 = interp.bilinear_flat(dpt_grad_1.reshape(2, -1), u1, v1, w, h)  # [2, N]
-    jac1 = interp.bilinear_flat(
-        jnp.swapaxes(kf1.jac_flat, 0, 1), u1, v1, w, h
-    )  # [CS, N] of the raw code jacobian
-    within = interp.nearest_flat(kf1.mask_flat, u1, v1, w, h)
+    dpt_map_1, dpt_grad_1, jac1_full = _decode_frame1(
+        shared, kf1, code1, scale1, hw, h, w
+    )
+    zero = jnp.asarray(0, jnp.int32)
+    d1 = _bilinear_scalar(dpt_map_1, u1, v1, w, h, zero)  # [N]
+    g1 = interp.bilinear_flat(dpt_grad_1, u1, v1, w, h, zero)  # [2, N]
+    jac1 = _bilinear_rows(jac1_full, u1, v1, w, h, zero)  # [N, CS] raw
+    within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
     pos = warped.pos_depth.astype(dtype)
 
     z1 = warped.points_in_1[..., 2]
@@ -100,12 +154,12 @@ def geometric_jac_error(
     sqrt_w = pos * within * jax.lax.rsqrt(raw**2 + loss_param)
 
     # geometry jacobians
-    jp = residuals.proj_jac_point(warped.points_in_1, cam.fx, cam.fy)  # [N,2,3]
+    jp = residuals.proj_jac_point(warped.points_in_1, cam.fx, cam.fy)
     xw = residuals.points_world(kf0.homo0, depth0, p0)
     jac_x_p0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
     j2d_p0 = jnp.einsum("nij,njk->nik", jp, jac_x_p0)  # [N, 2, 6]
     grad_dot_j2d_p0 = jnp.einsum("dn,ndk->nk", g1, j2d_p0)  # [N, 6]
-    # d(z1 - d1)/d pose0: loc_jac row2 - grad·proj_jac (kernel :674-681)
+    # d(z1 - d1)/d pose0: loc_jac row2 - grad.proj_jac (kernel :674-681)
     jpose0 = jac_x_p0[:, 2, :] - grad_dot_j2d_p0  # [N, 6]
     jpose1 = -jpose0
 
@@ -113,11 +167,10 @@ def geometric_jac_error(
         warped.rotated_homo, warped.points_in_1, cam.fx, cam.fy
     )  # [N, 2]
     d1_jac_dpt0 = jnp.einsum("dn,nd->n", g1, j2d_dpt)  # [N]
-    jac_code0_at = jnp.take(kf0.jac_flat, kf0.loc1d, axis=0)  # [N, CS]
     rh_z = warped.rotated_homo[..., 2]
     # (rh_z - d(d1)/d(dpt0)) * scale0 * dJcode0 (kernel :686, :697)
     jcode0 = ((rh_z - d1_jac_dpt0) * scale0)[:, None] * jac_code0_at
-    jcode1 = -scale1 * jac1.T  # [N, CS] (kernel :698)
+    jcode1 = -scale1 * jac1  # [N, CS] (kernel :698)
     jscale0 = (rh_z - d1_jac_dpt0) * depth0 / scale0  # (kernel :688)
     jscale1 = -d1 / scale1  # (kernel :689)
 
@@ -153,6 +206,7 @@ def geometric_error(
     scale1: jax.Array,
     kf0: GeoKf0,
     kf1: GeoKf1,
+    shared: GeoShared,
     cam: PinholeCamera,
     factor_weight: float,
     loss_param,
@@ -160,15 +214,21 @@ def geometric_error(
 ):
     """Error-only path (geometric_error_calculate, kernel :126-217)."""
     h, w = cam.height, cam.width
+    hw = h * w
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0 = decode_depth_at(kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0)
+    depth0, _ = _decode_depth0(shared, kf0, code0, scale0)
     warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     u1, v1 = residuals.project_full_res(
         warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
     )
-    dpt_map_1 = scale1 * (kf1.bias_flat + kf1.jac_flat @ code1)
-    d1 = interp.bilinear_flat(dpt_map_1.reshape(1, -1), u1, v1, w, h)[0]
-    within = interp.nearest_flat(kf1.mask_flat, u1, v1, w, h)
+    bias1 = jax.lax.dynamic_slice(shared.bias_flat, (kf1.base_hw,), (hw,))
+    jac1 = jax.lax.dynamic_slice(
+        shared.jac_flat, (kf1.base_hw, 0), (hw, shared.jac_flat.shape[-1])
+    )
+    dpt_map_1 = scale1 * (bias1 + jac1 @ code1)
+    zero = jnp.asarray(0, jnp.int32)
+    d1 = _bilinear_scalar(dpt_map_1, u1, v1, w, h, zero)
+    within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
     pos = warped.pos_depth.astype(d1.dtype)
     raw = d1 - warped.points_in_1[..., 2]
     err_pt = pos * jnp.log1p((within * raw) ** 2 / loss_param)

@@ -3,9 +3,12 @@
 Re-design of the reference photometric factor for TPU: one batched tensor
 program per edge replaces the CUDA grid over (sample, level)
 (cuda/photometric_factor_kernels.cpp:33-368 + host reduce :1061-1164).
-The per-point Jacobian rows are assembled as a [L*N*FS, 13+CS] matrix and
-reduced on the MXU with a single matmul per level — the SDDMM(gather) +
-GEMM(reduce) structure this framework is built around.
+
+Memory layout: all per-keyframe tables live in SHARED flat arrays
+(PhotoShared) indexed with per-edge base offsets — edges never copy the
+feature pyramids / depth maps of their endpoints (a naive vmap gathers an
+[E, C, T] copy per edge table, multiplying the gather working set by the
+edge count; measured as the dominant cost of linearization on TPU).
 
 Variable block layout of the 29-dim (13+CS) Hessian:
   [0:6]  pose0 tangent, [6:12] pose1 tangent, [12:12+CS] code0, [28] scale0
@@ -16,7 +19,9 @@ Semantics replicated from the reference:
 * J stored is d(f1)/d(params) (so GN step = AtA^-1 Atb directly),
 * inlier normalization uses LEVEL-0 valid count only (:1139),
 * zero-inlier penalty: error = 10 * sum(level weights), AtA = Atb = 0
-  (:1156-1161).
+  (:1156-1161),
+* the J^T W J channel reduction uses the algebraically-identical
+  per-point 2x2 gradient-Gram factorization (see photometric_jac_error).
 """
 
 from __future__ import annotations
@@ -30,32 +35,55 @@ from ..geometry import interp
 from ..geometry.camera import CameraPyramid
 from ..geometry.se3 import SE3
 from . import residuals
-from .depth import decode_depth_at
+
+
+class PhotoShared(NamedTuple):
+    """Shared (not per-edge) window tables, flattened over keyframes.
+
+    With K keyframes of HW pixels and T total pyramid pixels:
+      bias_flat [K*HW], jac_flat [K*HW, CS],
+      feat_pyr [C, K*T], grad_pyr [2, C, K*T], mask_flat [HW].
+    Pass with vmap in_axes=None."""
+
+    bias_flat: jax.Array
+    jac_flat: jax.Array
+    feat_pyr: jax.Array
+    grad_pyr: jax.Array
+    mask_flat: jax.Array
 
 
 class PhotoKf0(NamedTuple):
-    """Source-keyframe data for a photometric edge.
+    """Per-edge source-keyframe data.
 
-    src_feats caches the keyframe's own features bilinearly sampled at its
-    sampled points per level — they do not depend on the optimization
-    variables, so they are computed once per keyframe instead of per
-    linearization (the reference re-samples them inside every kernel
-    launch, photometric_factor_kernels.cpp:118-139; the values are
-    identical)."""
+    src_feats caches the keyframe's own features sampled at its points
+    per level (variable-independent; the reference re-samples them every
+    kernel launch, photometric_factor_kernels.cpp:118-139)."""
 
-    loc1d: jax.Array  # [N] int32 sampled pixel indices (full res)
-    homo0: jax.Array  # [N, 3] homogeneous rays of those pixels
-    bias_flat: jax.Array  # [HW]
-    jac_flat: jax.Array  # [HW, CS]
-    src_feats: jax.Array  # [L, N, C] per-level sampled source features
+    loc1d: jax.Array  # [N] int32 pixel ids (within one frame)
+    homo0: jax.Array  # [N, 3]
+    src_feats: jax.Array  # [L, N, C]
+    base_hw: jax.Array  # scalar int32: kf0_index * HW
+    base_pyr: jax.Array  # scalar int32: kf0_index * T (unused here)
 
 
 class PhotoFr1(NamedTuple):
-    """Target-frame data for a photometric edge."""
+    """Per-edge target-frame handle: base offset into the shared pyramid."""
 
-    feat_pyr: jax.Array  # [C, T]
-    grad_pyr: jax.Array  # [2, C, T]
-    mask_flat: jax.Array  # [HW] full-res validity mask
+    base_pyr: jax.Array  # scalar int32: fr1_index * T
+
+
+def single_frame_shared(
+    bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat
+) -> PhotoShared:
+    """Wrap one frame's arrays as a K=1 shared table (tests/training)."""
+    return PhotoShared(bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat)
+
+
+def _decode_depth_at(shared: PhotoShared, kf0: PhotoKf0, code0, scale0):
+    loc = kf0.base_hw + kf0.loc1d
+    bias = jnp.take(shared.bias_flat, loc)
+    jac = jnp.take(shared.jac_flat, loc, axis=0)
+    return scale0 * (bias + jac @ code0), jac
 
 
 def _per_level_samples(
@@ -63,7 +91,8 @@ def _per_level_samples(
     level: int,
     u_full: jax.Array,
     v_full: jax.Array,
-    pyr: jax.Array,
+    pyr: jax.Array,  # [C, K*T]
+    base: jax.Array,  # scalar frame offset (multiple of T)
 ):
     cam_l = cam_pyr[level]
     cam0 = cam_pyr[0]
@@ -71,18 +100,21 @@ def _per_level_samples(
     ry = cam_l.fy / cam0.fy
     ul, vl = interp.level_coords(u_full, v_full, rx, ry)
     return interp.bilinear_flat(
-        pyr, ul, vl, cam_l.width, cam_l.height, cam_pyr.level_offsets[level]
+        pyr, ul, vl, cam_l.width, cam_l.height,
+        base + cam_pyr.level_offsets[level],
     )
 
 
 def sample_source_features(feat_pyr, loc1d, cam_pyr: CameraPyramid):
-    """Precompute PhotoKf0.src_feats: the keyframe's own features sampled
-    at its photometric points for every level -> [L, N, C]."""
+    """Precompute PhotoKf0.src_feats from a SINGLE frame's pyramid
+    [C, T]: the keyframe's own features at its photometric points for
+    every level -> [L, N, C]."""
     cam0 = cam_pyr[0]
     x0, y0 = interp.locations_1d_to_2d(loc1d, cam0.width)
+    zero = jnp.asarray(0, jnp.int32)
     out = []
     for lvl in range(cam_pyr.levels):
-        f = _per_level_samples(cam_pyr, lvl, x0, y0, feat_pyr)  # [C, N]
+        f = _per_level_samples(cam_pyr, lvl, x0, y0, feat_pyr, zero)
         out.append(f.T)
     return jnp.stack(out, axis=0)
 
@@ -94,38 +126,41 @@ def photometric_error(
     scale0: jax.Array,
     kf0: PhotoKf0,
     fr1: PhotoFr1,
+    shared: PhotoShared,
     cam_pyr: CameraPyramid,
     weights,
     eps: float,
 ):
     """Error-only path (photometric_error_calculate :990-1059).
-
-    Returns (error scalar, n_inliers scalar).
-    """
+    Returns (error scalar, n_inliers scalar)."""
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0 = decode_depth_at(
-        kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0
-    )
+    depth0, _ = _decode_depth_at(shared, kf0, code0, scale0)
     w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     cam0 = cam_pyr[0]
     u1, v1 = residuals.project_full_res(
         w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
     )
-    within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
+    within = interp.nearest_flat(
+        shared.mask_flat, u1, v1, cam0.width, cam0.height
+    )
     pos = w.pos_depth.astype(within.dtype)
 
     err_total = jnp.zeros((), within.dtype)
     n_inl = jnp.zeros((), within.dtype)
     for lvl in range(cam_pyr.levels):
         f0 = kf0.src_feats[lvl].T  # [C, N]
-        f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
+        f1 = _per_level_samples(
+            cam_pyr, lvl, u1, v1, shared.feat_pyr, fr1.base_pyr
+        )
         err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
         if lvl == 0:
             n_inl = jnp.sum(pos * within)
 
     w_sum = jnp.sum(jnp.asarray(weights))
-    error = jnp.where(n_inl > 0, err_total / jnp.maximum(n_inl, 1.0), w_sum * 10.0)
+    error = jnp.where(
+        n_inl > 0, err_total / jnp.maximum(n_inl, 1.0), w_sum * 10.0
+    )
     return error, n_inl
 
 
@@ -136,50 +171,54 @@ def photometric_jac_error(
     scale0: jax.Array,
     kf0: PhotoKf0,
     fr1: PhotoFr1,
+    shared: PhotoShared,
     cam_pyr: CameraPyramid,
     weights,
     eps: float,
 ):
     """Linearization path (photometric_jac_error_calculate :1061-1164).
-
-    Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers).
-    """
-    cs = kf0.jac_flat.shape[-1]
+    Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers)."""
+    cs = shared.jac_flat.shape[-1]
     dim = 13 + cs
     dtype = kf0.homo0.dtype
 
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0 = decode_depth_at(
-        kf0.bias_flat, kf0.jac_flat, kf0.loc1d, code0, scale0
-    )
+    depth0, dpt_jac_code_at = _decode_depth_at(shared, kf0, code0, scale0)
     w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     cam0 = cam_pyr[0]
     u1, v1 = residuals.project_full_res(
         w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
     )
-    within = interp.nearest_flat(fr1.mask_flat, u1, v1, cam0.width, cam0.height)
+    within = interp.nearest_flat(
+        shared.mask_flat, u1, v1, cam0.width, cam0.height
+    )
     pos = w.pos_depth.astype(dtype)
     gate = pos * within  # [N]
 
     xw = residuals.points_world(kf0.homo0, depth0, p0)
     jac_x_pose0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
-    dpt_jac_code_at = jnp.take(kf0.jac_flat, kf0.loc1d, axis=0)  # [N, CS]
 
     ata = jnp.zeros((dim, dim), dtype)
     atb = jnp.zeros((dim,), dtype)
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
 
+    c = shared.feat_pyr.shape[0]
+    g_flat = shared.grad_pyr.reshape(-1, shared.grad_pyr.shape[-1])  # [2C, K*T]
+
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         f0 = kf0.src_feats[lvl].T  # [C, N]
-        f1 = _per_level_samples(cam_pyr, lvl, u1, v1, fr1.feat_pyr)
+        f1 = _per_level_samples(
+            cam_pyr, lvl, u1, v1, shared.feat_pyr, fr1.base_pyr
+        )
         # grad pyramid sampled at warped locations, gated (kernels :191-222)
-        g_flat = fr1.grad_pyr.reshape(-1, fr1.grad_pyr.shape[-1])  # [2C, T]
-        g1 = _per_level_samples(cam_pyr, lvl, u1, v1, g_flat)
-        g1 = g1.reshape(2, -1, g1.shape[-1]) * gate  # [2, C, N]
+        g1 = _per_level_samples(
+            cam_pyr, lvl, u1, v1, g_flat, fr1.base_pyr
+        )
+        g1 = g1.reshape(2, c, -1) * gate  # [2, C, N]
 
-        diff = gate * (f0 - f1)  # [C, N] residual rows
+        diff = gate * (f0 - f1)  # [C, N]
         err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
         if lvl == 0:
             n_inl = jnp.sum(gate)
@@ -196,13 +235,12 @@ def photometric_jac_error(
         j2d_scale = j2d_dpt * (depth0 / scale0)[..., None]  # [N, 2]
 
         # Per-channel Jacobian rows factor as J_nc = g_nc^T K_n with
-        # K_n [2, 29] the shared geometry rows, so the channel sum
-        # collapses into a per-point 2x2 gradient Gram:
+        # K_n [2, 29] shared geometry rows, so the channel sum collapses
+        # into a per-point 2x2 gradient Gram:
         #   sum_c J_nc^T J_nc = K_n^T (sum_c g_nc g_nc^T) K_n
         #   sum_c J_nc^T r_nc = K_n^T (sum_c g_nc r_nc)
         # — identical algebra to the reference's L*N*C x 29 row matmul
-        # (photometric_factor_kernels.cpp:1143-1152) at ~1/30 the FLOPs
-        # and no [N, C, 29] materialization.
+        # (photometric_factor_kernels.cpp:1143-1152) at ~1/30 the FLOPs.
         k_rows = jnp.concatenate(
             [j2d_pose0, -j2d_pose0, j2d_code, j2d_scale[..., None]],
             axis=-1,
@@ -211,9 +249,7 @@ def photometric_jac_error(
         h_vec = jnp.einsum("dcn,cn->nd", g1, diff)  # [N, 2]
 
         wl = jnp.asarray(weights[lvl], dtype)
-        ata = ata + wl * jnp.einsum(
-            "nap,nab,nbq->pq", k_rows, gram, k_rows
-        )
+        ata = ata + wl * jnp.einsum("nap,nab,nbq->pq", k_rows, gram, k_rows)
         atb = atb + wl * jnp.einsum("nap,na->p", k_rows, h_vec)
         err_total = err_total + wl * jnp.sum(err_pt)
 

@@ -35,8 +35,8 @@ class WindowData(NamedTuple):
     homo: jax.Array  # [K, N, 3]
     bias_flat: jax.Array  # [K, HW]
     jac_flat: jax.Array  # [K, HW, CS]
-    feat_pyr: jax.Array  # [K, C, T]
-    grad_pyr: jax.Array  # [K, 2, C, T]
+    feat_pyr: jax.Array  # [C, K, T] (channel-major: [C, K*T] is free)
+    grad_pyr: jax.Array  # [2, C, K, T]
     src_feats: jax.Array  # [K, L, N, C] cached per-level source samples
     avg_sq_bias: jax.Array  # [K] masked mean of squared depth bias
     mask_flat: jax.Array  # [HW] shared video mask (full res)
@@ -92,39 +92,45 @@ class BAProblem(NamedTuple):
     reproj_edges: ReprojEdgeTable | None = None
 
 
-def _gather_photo_inputs(window: WindowData, e: EdgeTable):
+def _photo_inputs(window: WindowData, e: EdgeTable):
+    """Per-edge handles + SHARED flat tables (no per-edge table copies)."""
+    hw = window.bias_flat.shape[-1]
+    t = window.feat_pyr.shape[-1]
+    c = window.feat_pyr.shape[0]
+    cs = window.jac_flat.shape[-1]
     kf0 = photometric.PhotoKf0(
         loc1d=window.loc1d[e.i0],
         homo0=window.homo[e.i0],
-        bias_flat=window.bias_flat[e.i0],
-        jac_flat=window.jac_flat[e.i0],
         src_feats=window.src_feats[e.i0],
+        base_hw=e.i0 * hw,
+        base_pyr=e.i0 * t,
     )
-    fr1 = photometric.PhotoFr1(
-        feat_pyr=window.feat_pyr[e.i1],
-        grad_pyr=window.grad_pyr[e.i1],
-        mask_flat=jnp.broadcast_to(
-            window.mask_flat, (e.i1.shape[0], window.mask_flat.shape[0])
-        ),
+    fr1 = photometric.PhotoFr1(base_pyr=e.i1 * t)
+    shared = photometric.PhotoShared(
+        bias_flat=window.bias_flat.reshape(-1),
+        jac_flat=window.jac_flat.reshape(-1, cs),
+        feat_pyr=window.feat_pyr.reshape(c, -1),
+        grad_pyr=window.grad_pyr.reshape(2, c, -1),
+        mask_flat=window.mask_flat,
     )
-    return kf0, fr1
+    return kf0, fr1, shared
 
 
-def _gather_geo_inputs(window: WindowData, e: EdgeTable):
+def _geo_inputs(window: WindowData, e: EdgeTable):
+    hw = window.bias_flat.shape[-1]
+    cs = window.jac_flat.shape[-1]
     kf0 = geometric.GeoKf0(
         loc1d=window.loc1d[e.i0],
         homo0=window.homo[e.i0],
-        bias_flat=window.bias_flat[e.i0],
-        jac_flat=window.jac_flat[e.i0],
+        base_hw=e.i0 * hw,
     )
-    kf1 = geometric.GeoKf1(
-        bias_flat=window.bias_flat[e.i1],
-        jac_flat=window.jac_flat[e.i1],
-        mask_flat=jnp.broadcast_to(
-            window.mask_flat, (e.i1.shape[0], window.mask_flat.shape[0])
-        ),
+    kf1 = geometric.GeoKf1(base_hw=e.i1 * hw)
+    shared = geometric.GeoShared(
+        bias_flat=window.bias_flat.reshape(-1),
+        jac_flat=window.jac_flat.reshape(-1, cs),
+        mask_flat=window.mask_flat,
     )
-    return kf0, kf1
+    return kf0, kf1, shared
 
 
 def _edge_vars(variables: Variables, idx: jax.Array) -> SE3:
@@ -153,21 +159,24 @@ def linearize(
     # ---- photometric edges: vars (p0, p1, c0, s0), dim 13+CS ----
     pe = problem.photo_edges
     if pe.i0.shape[0] > 0:
-        kf0, fr1 = _gather_photo_inputs(problem.window, pe)
+        kf0, fr1, shared = _photo_inputs(problem.window, pe)
 
-        def photo_one(p0, p1, c0, s0, kf0_e, fr1_e):
+        def photo_one(p0, p1, c0, s0, kf0_e, fr1_e, sh):
             return photometric.photometric_jac_error(
-                p0, p1, c0, s0, kf0_e, fr1_e, cam_pyr,
+                p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
                 cfg.photo_factor_weights, cfg.dpt_eps,
             )
 
-        ata, atb, err, _ = jax.vmap(photo_one)(
+        ata, atb, err, _ = jax.vmap(
+            photo_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(
             _edge_vars(variables, pe.i0),
             _edge_vars(variables, pe.i1),
             variables.code[pe.i0],
             variables.scale[pe.i0],
             kf0,
             fr1,
+            shared,
         )
         if psd:
             ata = graph.psd_correct(ata)
@@ -186,18 +195,20 @@ def linearize(
     # ---- geometric edges: vars (p0, p1, c0, c1, s0, s1), dim 14+2CS ----
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1 = _gather_geo_inputs(problem.window, ge)
+        kf0, kf1, gshared = _geo_inputs(problem.window, ge)
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
 
-        def geo_one(p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp):
+        def geo_one(p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp, sh):
             return geometric.geometric_jac_error(
-                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, cam_pyr[0],
+                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, sh, cam_pyr[0],
                 cfg.geo_factor_weight, lp, cfg.dpt_eps,
             )
 
-        ata, atb, err, _ = jax.vmap(geo_one)(
+        ata, atb, err, _ = jax.vmap(
+            geo_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None)
+        )(
             _edge_vars(variables, ge.i0),
             _edge_vars(variables, ge.i1),
             variables.code[ge.i0],
@@ -207,6 +218,7 @@ def linearize(
             kf0,
             kf1,
             loss_param,
+            gshared,
         )
         if psd:
             ata = graph.psd_correct(ata)
@@ -305,12 +317,13 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
 
     pe = problem.photo_edges
     if pe.i0.shape[0] > 0:
-        kf0, fr1 = _gather_photo_inputs(problem.window, pe)
+        kf0, fr1, shared = _photo_inputs(problem.window, pe)
         err, _ = jax.vmap(
-            lambda p0, p1, c0, s0, kf0_e, fr1_e: photometric.photometric_error(
-                p0, p1, c0, s0, kf0_e, fr1_e, cam_pyr,
+            lambda p0, p1, c0, s0, kf0_e, fr1_e, sh: photometric.photometric_error(
+                p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
                 cfg.photo_factor_weights, cfg.dpt_eps,
-            )
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, None),
         )(
             _edge_vars(variables, pe.i0),
             _edge_vars(variables, pe.i1),
@@ -318,20 +331,22 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
             variables.scale[pe.i0],
             kf0,
             fr1,
+            shared,
         )
         total = total + jnp.sum(err * pe.valid)
 
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1 = _gather_geo_inputs(problem.window, ge)
+        kf0, kf1, gshared = _geo_inputs(problem.window, ge)
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
         err, _ = jax.vmap(
-            lambda p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp: geometric.geometric_error(
-                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, cam_pyr[0],
+            lambda p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, lp, sh: geometric.geometric_error(
+                p0, p1, c0, c1, s0, s1, kf0_e, kf1_e, sh, cam_pyr[0],
                 cfg.geo_factor_weight, lp, cfg.dpt_eps,
-            )
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
         )(
             _edge_vars(variables, ge.i0),
             _edge_vars(variables, ge.i1),
@@ -342,6 +357,7 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
             kf0,
             kf1,
             loss_param,
+            gshared,
         )
         total = total + jnp.sum(err * ge.valid)
 

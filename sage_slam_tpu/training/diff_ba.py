@@ -61,8 +61,10 @@ def two_frame_ba(
     params: BAParams,
     kf0: photometric.PhotoKf0,
     fr1: photometric.PhotoFr1,
+    photo_shared: photometric.PhotoShared,
     geo_kf0: geometric.GeoKf0,
     geo_kf1: geometric.GeoKf1,
+    geo_shared: geometric.GeoShared,
     cam_pyr: CameraPyramid,
     init: BAState,
     num_iters: int = 8,
@@ -92,8 +94,8 @@ def two_frame_ba(
 
         # photometric: block layout [p0(6), p1(6), c0, s0]
         a_p, b_p, err_p, _ = photometric.photometric_jac_error(
-            p0, p1, state.code0, state.scale0, kf0, fr1, cam_pyr,
-            weights, dpt_eps,
+            p0, p1, state.code0, state.scale0, kf0, fr1, photo_shared,
+            cam_pyr, weights, dpt_eps,
         )
         sub = jnp.concatenate([jnp.arange(6), jnp.arange(12, 13 + cs)])
         dst = jnp.concatenate([idx_tau, idx_c0, idx_s0])
@@ -103,8 +105,8 @@ def two_frame_ba(
         # geometric: block layout [p0, p1, c0, c1, s0, s1]; s1 fixed = 1
         a_g, b_g, err_g, _ = geometric.geometric_jac_error(
             p0, p1, state.code0, state.code1, state.scale0,
-            jnp.asarray(1.0), geo_kf0, geo_kf1, cam_pyr[0], geo_w,
-            loss_param, dpt_eps,
+            jnp.asarray(1.0), geo_kf0, geo_kf1, geo_shared, cam_pyr[0],
+            geo_w, loss_param, dpt_eps,
         )
         sub_g = jnp.concatenate(
             [jnp.arange(6), jnp.arange(12, 12 + 2 * cs), jnp.asarray([12 + 2 * cs])]

@@ -177,23 +177,36 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
         cs = f_src["jac_flat"].shape[-1]
         h, w = cam.height, cam.width
         if joint:
+            zero = jnp.asarray(0, jnp.int32)
+            hw = mask.size
             kf0 = photometric.PhotoKf0(
                 loc1d=f_src["loc1d"], homo0=f_src["homo"],
-                bias_flat=f_src["bias_flat"], jac_flat=f_src["jac_flat"],
                 src_feats=photometric.sample_source_features(
                     f_src["feat_pyr"], f_src["loc1d"], cam_pyr
                 ),
+                base_hw=zero, base_pyr=zero,
             )
-            fr1 = photometric.PhotoFr1(
-                feat_pyr=f_close["feat_pyr"], grad_pyr=f_close["grad_pyr"],
+            fr1 = photometric.PhotoFr1(base_pyr=zero)
+            photo_shared = photometric.PhotoShared(
+                bias_flat=f_src["bias_flat"],
+                jac_flat=f_src["jac_flat"],
+                feat_pyr=f_close["feat_pyr"],
+                grad_pyr=f_close["grad_pyr"],
                 mask_flat=mask.reshape(-1),
             )
             geo0 = geometric.GeoKf0(
-                loc1d=f_src["loc1d"], homo0=f_src["homo"],
-                bias_flat=f_src["bias_flat"], jac_flat=f_src["jac_flat"],
+                loc1d=f_src["loc1d"], homo0=f_src["homo"], base_hw=zero,
             )
             geo1 = geometric.GeoKf1(
-                bias_flat=f_close["bias_flat"], jac_flat=f_close["jac_flat"],
+                base_hw=jnp.asarray(hw, jnp.int32)
+            )
+            geo_shared = geometric.GeoShared(
+                bias_flat=jnp.concatenate(
+                    [f_src["bias_flat"], f_close["bias_flat"]]
+                ),
+                jac_flat=jnp.concatenate(
+                    [f_src["jac_flat"], f_close["jac_flat"]]
+                ),
                 mask_flat=mask.reshape(-1),
             )
             init = diff_ba.BAState(
@@ -203,8 +216,8 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 scale0=jnp.asarray(1.0),
             )
             final, _ = diff_ba.two_frame_ba(
-                gen_params["ba"], kf0, fr1, geo0, geo1, cam_pyr, init,
-                num_iters=cfg.ba_iters,
+                gen_params["ba"], kf0, fr1, photo_shared, geo0, geo1,
+                geo_shared, cam_pyr, init, num_iters=cfg.ba_iters,
             )
             pred_depth, pred_flow = diff_ba.ba_outputs(
                 final, f_src["bias_flat"], f_src["jac_flat"], cam

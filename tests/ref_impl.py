@@ -278,3 +278,94 @@ def geometric_jac_error_ref(
         err = (weight / n_inl) * float(np.sum(errs))
         return ata, atb, err, n_inl
     return np.zeros((dim, dim)), np.zeros(dim), weight * 10.0, 0.0
+
+
+def tracker_photo_jac_error_ref(
+    rot,  # [3,3] relative rotation kf->frame
+    t,  # [3]
+    dpts0,  # [N] scaled source depths
+    homo0,  # [N, 3]
+    feats0_levels,  # [L, N, C] precomputed source features
+    feat1_levels,  # list of [C, H_l, W_l]
+    grad1_levels,  # list of [2, C, H_l, W_l]
+    mask1,  # [H, W]
+    cams,  # list of (fx, fy, cx, cy, w, h)
+    eps,
+    weights,
+    scale0=None,  # -> 7-DoF with-scale variant
+):
+    """Oracle for the tracker photometric kernels
+    (photometric_factor_kernels.cpp:524-873 + host reduce :1166-1325)."""
+    n = len(homo0)
+    L = len(cams)
+    fs = feat1_levels[0].shape[0]
+    dim = 6 if scale0 is None else 7
+    fx0, fy0, cx0, cy0, w0, h0 = cams[0]
+    ata = np.zeros((dim, dim))
+    atb = np.zeros(dim)
+    err_levels = np.zeros(L)
+    n_inl = 0.0
+    for lvl in range(L):
+        fx, fy, _, _, wl_, hl_ = cams[lvl]
+        rxl, ryl = fx / fx0, fy / fy0
+        for i in range(n):
+            rh = rot @ homo0[i]
+            x1 = dpts0[i] * rh + t
+            pos = x1[2] > eps
+            u = x1[0] / x1[2] * fx0 + cx0
+            v = x1[1] / x1[2] * fy0 + cy0
+            within = nearest(mask1, u, v)
+            f1 = bilinear(
+                feat1_levels[lvl], level_coord(u, rxl), level_coord(v, ryl)
+            )
+            f0 = feats0_levels[lvl][i]
+            diff = within * (f0 - f1) if pos else np.zeros(fs)
+            err = within * np.sum((f0 - f1) ** 2) if pos else 0.0
+            err_levels[lvl] += err
+            if lvl == 0:
+                n_inl += within if pos else 0.0
+            g1 = np.zeros((fs, 2))
+            if pos:
+                gb = bilinear(
+                    grad1_levels[lvl].reshape(2 * fs, hl_, wl_),
+                    level_coord(u, rxl),
+                    level_coord(v, ryl),
+                ).reshape(2, fs)
+                g1 = within * gb.T
+            inv_z = 1.0 / x1[2]
+            pj = np.array(
+                [
+                    [fx * inv_z, 0, -fx * x1[0] * inv_z**2],
+                    [0, fy * inv_z, -fy * x1[1] * inv_z**2],
+                ]
+            )
+            jac_rel = np.array(
+                [
+                    [1, 0, 0, 0, x1[2], -x1[1]],
+                    [0, 1, 0, -x1[2], 0, x1[0]],
+                    [0, 0, 1, x1[1], -x1[0], 0],
+                ]
+            )
+            j2d = pj @ jac_rel  # [2, 6]
+            if scale0 is not None:
+                jdpt = np.array(
+                    [
+                        fx * (rh[0] * inv_z - x1[0] * rh[2] * inv_z**2),
+                        fy * (rh[1] * inv_z - x1[1] * rh[2] * inv_z**2),
+                    ]
+                )
+                jscale = jdpt * dpts0[i] / scale0
+                k_rows = np.concatenate([j2d, jscale[:, None]], axis=1)
+            else:
+                k_rows = j2d
+            rows = g1 @ k_rows  # [fs, dim]
+            ata += weights[lvl] * rows.T @ rows
+            atb += weights[lvl] * rows.T @ diff
+    if n_inl > 0:
+        return (
+            ata / n_inl,
+            atb / n_inl,
+            float(np.sum(np.asarray(weights) * err_levels) / n_inl),
+            n_inl,
+        )
+    return np.zeros((dim, dim)), np.zeros(dim), float(np.sum(weights) * 10), 0.0

@@ -51,8 +51,8 @@ def build_problem(k=3, h=32, w=40, cs=4, fs=4, levels=3, n=256, seed=0):
         homo=jnp.tile(jnp.asarray(homo, jnp.float32)[None], (k, 1, 1)),
         bias_flat=jnp.tile(jnp.asarray(bias)[None], (k, 1)),
         jac_flat=jnp.tile(jnp.asarray(jac)[None], (k, 1, 1)),
-        feat_pyr=jnp.tile(fpyr[None], (k, 1, 1)),
-        grad_pyr=jnp.tile(gpyr[None], (k, 1, 1, 1)),
+        feat_pyr=jnp.tile(fpyr[:, None], (1, k, 1)),
+        grad_pyr=jnp.tile(gpyr[:, :, None], (1, 1, k, 1)),
         src_feats=jnp.tile(srcf[None], (k, 1, 1, 1)),
         avg_sq_bias=jnp.full((k,), float(np.mean(bias**2))),
         mask_flat=jnp.asarray(mask.reshape(-1)),

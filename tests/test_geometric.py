@@ -45,22 +45,27 @@ def make_scene(seed=0, n=80, h=16, w=20, cs=4):
 def test_jac_error_matches_oracle(seed):
     s = make_scene(seed)
     cam = s["cam"]
+    hw = cam.height * cam.width
     kf0 = geometric.GeoKf0(
         loc1d=jnp.asarray(s["loc1d"]),
         homo0=jnp.asarray(s["homo"]),
-        bias_flat=jnp.asarray(s["bias0"]),
-        jac_flat=jnp.asarray(s["jac0"]),
+        base_hw=jnp.asarray(0, jnp.int32),
     )
-    kf1 = geometric.GeoKf1(
-        bias_flat=jnp.asarray(s["bias1"]),
-        jac_flat=jnp.asarray(s["jac1"]),
+    kf1 = geometric.GeoKf1(base_hw=jnp.asarray(hw, jnp.int32))
+    shared = geometric.GeoShared(
+        bias_flat=jnp.concatenate(
+            [jnp.asarray(s["bias0"]), jnp.asarray(s["bias1"])]
+        ),
+        jac_flat=jnp.concatenate(
+            [jnp.asarray(s["jac0"]), jnp.asarray(s["jac1"])]
+        ),
         mask_flat=jnp.asarray(s["mask1"].reshape(-1)),
     )
     ata, atb, err, ninl = geometric.geometric_jac_error(
         s["p0"], s["p1"],
         jnp.asarray(s["code0"]), jnp.asarray(s["code1"]),
         jnp.asarray(s["scale0"]), jnp.asarray(s["scale1"]),
-        kf0, kf1, cam, s["weight"], s["loss_param"], s["eps"],
+        kf0, kf1, shared, cam, s["weight"], s["loss_param"], s["eps"],
     )
 
     # oracle inputs (float64)
@@ -96,18 +101,21 @@ def test_jac_error_matches_oracle(seed):
 def test_error_path_consistent():
     s = make_scene(2)
     cam = s["cam"]
+    hw = cam.height * cam.width
     kf0 = geometric.GeoKf0(
         jnp.asarray(s["loc1d"]), jnp.asarray(s["homo"]),
-        jnp.asarray(s["bias0"]), jnp.asarray(s["jac0"]),
+        jnp.asarray(0, jnp.int32),
     )
-    kf1 = geometric.GeoKf1(
-        jnp.asarray(s["bias1"]), jnp.asarray(s["jac1"]),
+    kf1 = geometric.GeoKf1(jnp.asarray(hw, jnp.int32))
+    shared = geometric.GeoShared(
+        jnp.concatenate([jnp.asarray(s["bias0"]), jnp.asarray(s["bias1"])]),
+        jnp.concatenate([jnp.asarray(s["jac0"]), jnp.asarray(s["jac1"])]),
         jnp.asarray(s["mask1"].reshape(-1)),
     )
     args = (
         s["p0"], s["p1"], jnp.asarray(s["code0"]), jnp.asarray(s["code1"]),
         jnp.asarray(s["scale0"]), jnp.asarray(s["scale1"]),
-        kf0, kf1, cam, s["weight"], s["loss_param"], s["eps"],
+        kf0, kf1, shared, cam, s["weight"], s["loss_param"], s["eps"],
     )
     e1, n1 = geometric.geometric_error(*args)
     _, _, e2, n2 = geometric.geometric_jac_error(*args)

@@ -112,16 +112,20 @@ def to_jax_inputs(s):
         [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat0_lv"]],
         axis=-1,
     )
+    zero = jnp.asarray(0, jnp.int32)
     kf0 = photometric.PhotoKf0(
         loc1d=jnp.asarray(s["loc1d"]),
         homo0=jnp.asarray(s["homo"]),
-        bias_flat=jnp.asarray(s["bias"]),
-        jac_flat=jnp.asarray(s["jac"]),
         src_feats=photometric.sample_source_features(
             feat0_pyr, jnp.asarray(s["loc1d"]), s["pyr"]
         ),
+        base_hw=zero,
+        base_pyr=zero,
     )
-    fr1 = photometric.PhotoFr1(
+    fr1 = photometric.PhotoFr1(base_pyr=zero)
+    shared = photometric.PhotoShared(
+        bias_flat=jnp.asarray(s["bias"]),
+        jac_flat=jnp.asarray(s["jac"]),
         feat_pyr=jnp.concatenate(
             [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat1_lv"]],
             axis=-1,
@@ -135,7 +139,7 @@ def to_jax_inputs(s):
         ),
         mask_flat=jnp.asarray(s["mask1"].reshape(-1)),
     )
-    return kf0, fr1
+    return kf0, fr1, shared
 
 
 def ref_args(s):
@@ -175,7 +179,7 @@ def ref_args(s):
 @pytest.mark.parametrize("seed", [0, 1])
 def test_jac_error_matches_oracle(seed):
     s = make_scene(seed)
-    kf0, fr1 = to_jax_inputs(s)
+    kf0, fr1, shared = to_jax_inputs(s)
     ata, atb, err, n_inl = photometric.photometric_jac_error(
         s["p0"],
         s["p1"],
@@ -183,6 +187,7 @@ def test_jac_error_matches_oracle(seed):
         jnp.asarray(s["scale0"]),
         kf0,
         fr1,
+        shared,
         s["pyr"],
         s["weights"],
         s["eps"],
@@ -198,7 +203,7 @@ def test_jac_error_matches_oracle(seed):
 
 def test_error_path_consistent_with_jac_path():
     s = make_scene(2)
-    kf0, fr1 = to_jax_inputs(s)
+    kf0, fr1, shared = to_jax_inputs(s)
     args = (
         s["p0"],
         s["p1"],
@@ -206,6 +211,7 @@ def test_error_path_consistent_with_jac_path():
         jnp.asarray(s["scale0"]),
         kf0,
         fr1,
+        shared,
         s["pyr"],
         s["weights"],
         s["eps"],
@@ -220,10 +226,10 @@ def test_quadratic_model_predicts_error_change():
     """err(x+d) - err(x) ≈ dᵀ AtA d - 2 Atbᵀ d — the reference's own
     commented-out verification (photometric_factor.cpp:124-143)."""
     s = make_scene(3, n=128, h=32, w=40, smooth=True)
-    kf0, fr1 = to_jax_inputs(s)
+    kf0, fr1, shared = to_jax_inputs(s)
     code = jnp.asarray(s["code"])
     scale0 = jnp.asarray(s["scale0"])
-    base = (s["p0"], s["p1"], code, scale0, kf0, fr1, s["pyr"], s["weights"], s["eps"])
+    base = (s["p0"], s["p1"], code, scale0, kf0, fr1, shared, s["pyr"], s["weights"], s["eps"])
     ata, atb, err0, n0 = photometric.photometric_jac_error(*base)
 
     eps_d = 1e-3
@@ -233,7 +239,7 @@ def test_quadratic_model_predicts_error_change():
 
     p0_new = retract(s["p0"], jnp.asarray(delta[:6], jnp.float32))
     err1, _ = photometric.photometric_error(
-        p0_new, s["p1"], code, scale0, kf0, fr1, s["pyr"], s["weights"], s["eps"]
+        p0_new, s["p1"], code, scale0, kf0, fr1, shared, s["pyr"], s["weights"], s["eps"]
     )
     d_num = float(err1) - float(err0)
     d_ana = float(delta @ np.array(ata) @ delta - 2.0 * np.array(atb) @ delta)
@@ -244,7 +250,7 @@ def test_quadratic_model_predicts_error_change():
 def test_zero_inlier_penalty():
     s = make_scene(4)
     s["mask1"] = np.zeros_like(s["mask1"])  # nothing valid in target
-    kf0, fr1 = to_jax_inputs(s)
+    kf0, fr1, shared = to_jax_inputs(s)
     ata, atb, err, n_inl = photometric.photometric_jac_error(
         s["p0"],
         s["p1"],
@@ -252,6 +258,7 @@ def test_zero_inlier_penalty():
         jnp.asarray(s["scale0"]),
         kf0,
         fr1,
+        shared,
         s["pyr"],
         s["weights"],
         s["eps"],

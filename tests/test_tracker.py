@@ -104,3 +104,73 @@ def test_area_inlier_motion():
 def test_convex_hull_area_square():
     pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]])
     assert abs(tracker.convex_hull_area(pts) - 1.0) < 1e-9
+
+
+def test_tracker_photo_jac_matches_oracle():
+    """Tracker photometric AtA/Atb vs the loopy transcription (both the
+    6-DoF and the 7-DoF with-scale variants)."""
+    import pytest
+    from tests import ref_impl
+    from tests.test_photometric import make_scene
+
+    s = make_scene(seed=5, n=48, h=16, w=20, cs=4, fs=3, levels=3)
+    pyr = s["pyr"]
+    dpts0 = (s["bias"][s["loc1d"]] + s["jac"][s["loc1d"]] @ s["code"]) * s["scale0"]
+    feats0 = np.stack(
+        [
+            np.stack(
+                [
+                    np.array(
+                        tracker._sample_source_features(
+                            jnp.concatenate(
+                                [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat0_lv"]],
+                                axis=-1,
+                            ),
+                            jnp.asarray(s["loc1d"]),
+                            pyr,
+                        )
+                    )[lvl]
+                ]
+            )[0]
+            for lvl in range(pyr.levels)
+        ]
+    )  # [L, N, C]
+    ref = tracker.TrackerRef(
+        photo_homo0=jnp.asarray(s["homo"]),
+        photo_dpts0=jnp.asarray(dpts0),
+        cat_photo_feats0=jnp.asarray(feats0),
+    )
+    target = tracker.TrackerTarget(
+        feat_pyr=jnp.concatenate(
+            [jnp.asarray(f.reshape(f.shape[0], -1)) for f in s["feat1_lv"]],
+            axis=-1,
+        ),
+        grad_pyr=jnp.concatenate(
+            [jnp.asarray(g.reshape(2, g.shape[1], -1)) for g in s["grad1_lv"]],
+            axis=-1,
+        ),
+        mask_flat=jnp.asarray(s["mask1"].reshape(-1)),
+    )
+    rot = np.array(s["p0"].rot)
+    t = np.array(s["p0"].trans)
+    cams = [(c.fx, c.fy, c.cx, c.cy, c.width, c.height) for c in pyr.cameras]
+
+    for scale0 in (None, 1.3):
+        ata, atb, err, ninl = tracker.tracker_photo_jac_error(
+            jnp.asarray(rot), jnp.asarray(t), ref, target, pyr,
+            s["weights"], s["eps"],
+            scale0=None if scale0 is None else jnp.asarray(scale0),
+        )
+        r_ata, r_atb, r_err, r_ninl = ref_impl.tracker_photo_jac_error_ref(
+            rot.astype(np.float64), t.astype(np.float64),
+            dpts0.astype(np.float64), s["homo"].astype(np.float64),
+            feats0.astype(np.float64),
+            [f.astype(np.float64) for f in s["feat1_lv"]],
+            [g.astype(np.float64) for g in s["grad1_lv"]],
+            s["mask1"].astype(np.float64), cams, s["eps"],
+            list(s["weights"]), scale0=scale0,
+        )
+        assert float(ninl) == r_ninl
+        np.testing.assert_allclose(float(err), r_err, rtol=2e-4)
+        np.testing.assert_allclose(np.array(atb), r_atb, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.array(ata), r_ata, rtol=5e-3, atol=5e-4)

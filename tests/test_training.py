@@ -86,13 +86,19 @@ def test_diff_ba_is_differentiable():
     loc = jnp.asarray(rng.choice(h * w, n, replace=False).astype(np.int32))
     homo = locations_1d_to_homo(loc, cam)
 
+    zero = jnp.asarray(0, jnp.int32)
     kf0 = photometric.PhotoKf0(
-        loc, homo, bias, jac,
+        loc, homo,
         photometric.sample_source_features(fpyr, loc, pyr),
+        zero, zero,
     )
-    fr1 = photometric.PhotoFr1(fpyr, gpyr, mask.reshape(-1))
-    g0 = geometric.GeoKf0(loc, homo, bias, jac)
-    g1 = geometric.GeoKf1(bias, jac, mask.reshape(-1))
+    fr1 = photometric.PhotoFr1(zero)
+    photo_shared = photometric.PhotoShared(
+        bias, jac, fpyr, gpyr, mask.reshape(-1)
+    )
+    g0 = geometric.GeoKf0(loc, homo, zero)
+    g1 = geometric.GeoKf1(zero)
+    geo_shared = geometric.GeoShared(bias, jac, mask.reshape(-1))
     init = diff_ba.BAState(
         tau10=jnp.zeros(6), code0=jnp.zeros(cs), code1=jnp.zeros(cs),
         scale0=jnp.asarray(1.0),
@@ -101,7 +107,8 @@ def test_diff_ba_is_differentiable():
 
     def loss(p):
         final, errs = diff_ba.two_frame_ba(
-            p, kf0, fr1, g0, g1, pyr, init, num_iters=2
+            p, kf0, fr1, photo_shared, g0, g1, geo_shared, pyr, init,
+            num_iters=2
         )
         return jnp.sum(final.code0**2) + jnp.sum(final.tau10**2) + errs[-1]
 
