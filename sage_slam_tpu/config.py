@@ -26,6 +26,7 @@ class TrackerConfig:
     damp_inc_factor: float = 100.0
     jac_update_err_inc_threshold: float = 1.0e-2
     desc_num_keypoints: int = 256
+    desc_cyc_consis_thresh: float = 2.0
     reproj_factor_weight: float = 0.1
     match_geom_factor_weight: float = 0.1
     ref_kf_select_ratio: float = 0.6
@@ -50,6 +51,7 @@ class MapperConfig:
     pho_num_samples: int = 3072
     photo_factor_weights: Tuple[float, ...] = (10.0, 9.0, 8.0, 7.0)
     desc_num_keypoints: int = 512
+    desc_cyc_consis_thresh: float = 2.0
     reproj_factor_weight: float = 0.1
     reproj_loss_param_factor: float = 0.03
     match_geom_factor_weight: float = 0.1

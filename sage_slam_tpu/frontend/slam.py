@@ -120,7 +120,8 @@ class SlamSystem:
         self._mg_fn = jax.jit(
             lambda key, d0, d1, dpt0, dpt1, s1: matching_geo.feature_matching_geo(
                 key, d0, d1, self.mapper.valid_loc1d, dpt0, dpt1,
-                self.cam, cfg.tracker.desc_num_keypoints, 2.0,
+                self.cam, cfg.tracker.desc_num_keypoints,
+                cfg.tracker.desc_cyc_consis_thresh,
                 cfg.tracker.teaser_noise_bound_multiplier,
                 estimate_scale=True, dpt_scale_1=s1,
             )

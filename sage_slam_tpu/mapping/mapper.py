@@ -259,7 +259,8 @@ class Mapper:
             key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
         )
         m = matcher.cycle_consistent_matches(
-            kps, desc0, desc1, cam.width, cyc_consis_thresh=2.0
+            kps, desc0, desc1, cam.width,
+            cyc_consis_thresh=self.cfg.mapper.desc_cyc_consis_thresh,
         )
         homo0, homo1 = matcher.matches_to_points(m, cam)
         bias0 = jnp.take(desc0[:, :1] * 0, m.loc1d_0)  # placeholder
@@ -276,7 +277,8 @@ class Mapper:
             key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
         )
         m = matcher.cycle_consistent_matches(
-            kps, desc0, desc1, cam.width, cyc_consis_thresh=2.0
+            kps, desc0, desc1, cam.width,
+            cyc_consis_thresh=self.cfg.mapper.desc_cyc_consis_thresh,
         )
         homo0, homo1 = matcher.matches_to_points(m, cam)
         bias0 = jnp.take(self.store.row('bias_flat', i0), m.loc1d_0)

@@ -44,3 +44,28 @@ def test_extract_and_save(tmp_path):
     path = os.path.join(tmp_path, "mesh.ply")
     tsdf.save_ply(path, pts)
     assert os.path.getsize(path) > 100
+
+
+def test_warp_display(tmp_path):
+    """Identity warp reproduces the frame content where valid."""
+    import jax.numpy as jnp
+    import os
+
+    from sage_slam_tpu.viz import warp_display
+
+    h, w = 16, 20
+    cam = PinholeCamera(fx=20.0, fy=20.0, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((3, h * w)).astype(np.float32)
+    depth = jnp.full((h * w,), 1.0)
+    mask = jnp.ones((h * w,))
+    warped, valid = warp_display.se3_warp_image(
+        jnp.asarray(img), depth, mask, np.eye(3, dtype=np.float32),
+        np.zeros(3, np.float32), cam,
+    )
+    assert valid.min() > 0.5
+    np.testing.assert_allclose(
+        warped.reshape(3, -1), img, atol=1e-4
+    )
+    cb = warp_display.checkerboard(h, w)
+    assert cb.shape == (h, w) and set(np.unique(cb)) == {0.0, 1.0}
