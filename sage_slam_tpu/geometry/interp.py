@@ -71,6 +71,72 @@ def bilinear_flat(
     return out
 
 
+def pack_pairs(rows: jax.Array) -> jax.Array:
+    """Pack a row-major flat image [total, C] into pair rows [total, 2C]
+    with ``out[p] = (rows[p-1], rows[p])`` (``out[0][:C]`` is zero).
+
+    This is the TPU gather-packing trick used by all bilinear hot paths:
+    the two x-taps of a bilinear corner row become ONE gathered row, so a
+    4-corner bilinear needs 2 dynamic gathers instead of 4. TPU gather
+    cost is dominated by index count, not row width (measured ~2x).
+
+    The output has ``total + 1`` rows: the extra final row holds
+    ``(rows[total-1], 0)`` so the gather index ``total`` (bottom-right
+    corner of the last image) resolves without a wrong-row clip.
+    """
+    zero = jnp.zeros_like(rows[:1])
+    prev = jnp.concatenate([zero, rows], axis=0)
+    cur = jnp.concatenate([rows, zero], axis=0)
+    return jnp.concatenate([prev, cur], axis=-1)
+
+
+def bilinear_packed(
+    packed: jax.Array,  # [total, 2C] from pack_pairs, row-major per level
+    x: jax.Array,  # [N] pixel x (level coords)
+    y: jax.Array,  # [N] pixel y (level coords)
+    width: int,
+    height: int,
+    offset=0,
+) -> jax.Array:
+    """Zero-padding bilinear gather from a pair-packed flat image -> [N, C].
+
+    Bit-equivalent semantics to :func:`bilinear_flat` (per-corner
+    WITHIN_BOUNDS zero padding, photometric_factor_kernels.cpp:106-139):
+    gathering row ``offset + yi*width + xi1`` yields slot0 = pixel
+    ``(yi, xi0)`` and slot1 = pixel ``(yi, xi1)``; every cross-row /
+    cross-level misread happens only for corners whose bounds weight is
+    exactly zero.
+    """
+    total = packed.shape[0]
+    c = packed.shape[-1] // 2
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx0 = x0 + 1.0 - x
+    wy0 = y0 + 1.0 - y
+    wx1 = 1.0 - wx0
+    wy1 = 1.0 - wy0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    xi1 = xi0 + 1
+    yi1 = yi0 + 1
+    dt = packed.dtype
+    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
+    bx1 = ((xi1 >= 0) & (xi1 < width)).astype(dt)
+    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
+    by1 = ((yi1 >= 0) & (yi1 < height)).astype(dt)
+    # clip before the index arithmetic so huge warp coords cannot overflow
+    xc = jnp.clip(xi1, 0, width)
+    r0 = offset + jnp.clip(yi0, -1, height) * width + xc
+    r1 = offset + jnp.clip(yi1, -1, height) * width + xc
+    a = jnp.take(packed, jnp.clip(r0, 0, total - 1), axis=0)
+    b = jnp.take(packed, jnp.clip(r1, 0, total - 1), axis=0)
+    w00 = (wx0 * wy0 * bx0 * by0)[:, None]
+    w10 = (wx1 * wy0 * bx1 * by0)[:, None]
+    w01 = (wx0 * wy1 * bx0 * by1)[:, None]
+    w11 = (wx1 * wy1 * bx1 * by1)[:, None]
+    return a[..., :c] * w00 + a[..., c:] * w10 + b[..., :c] * w01 + b[..., c:] * w11
+
+
 def nearest_flat(
     img_flat: jax.Array,  # [C, total] or [total]
     x: jax.Array,

@@ -43,13 +43,44 @@ class PhotoShared(NamedTuple):
     With K keyframes of HW pixels and T total pyramid pixels:
       bias_flat [K*HW], jac_flat [K*HW, CS],
       feat_pyr [C, K*T], grad_pyr [2, C, K*T], mask_flat [HW].
-    Pass with vmap in_axes=None."""
+    Pass with vmap in_axes=None.
+
+    packed_fg / packed_feat are optional pair-packed gather tables
+    (interp.pack_pairs over [feat | grad] rows / feat rows): with them the
+    4-level linearization needs 2 gathers per level instead of 8 — the
+    gather passes are ~90% of linearize time on TPU. Built lazily when
+    absent; precompute via :func:`build_packed_tables` to hoist the packing
+    out of an LM while_loop."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     feat_pyr: jax.Array
     grad_pyr: jax.Array
     mask_flat: jax.Array
+    packed_fg: jax.Array | None = None  # [K*T + 1, 2*3C]
+    packed_feat: jax.Array | None = None  # [K*T + 1, 2*C]
+
+
+def build_packed_tables(feat_pyr: jax.Array, grad_pyr: jax.Array):
+    """(packed_fg, packed_feat) pair-packed gather tables from the shared
+    channel-major pyramids feat_pyr [C, M], grad_pyr [2, C, M]."""
+    featT = feat_pyr.T  # [M, C]
+    gradT = grad_pyr.reshape(-1, grad_pyr.shape[-1]).T  # [M, 2C], d-major
+    packed_fg = interp.pack_pairs(jnp.concatenate([featT, gradT], axis=-1))
+    packed_feat = interp.pack_pairs(featT)
+    return packed_fg, packed_feat
+
+
+def _packed_fg(shared: PhotoShared) -> jax.Array:
+    if shared.packed_fg is not None:
+        return shared.packed_fg
+    return build_packed_tables(shared.feat_pyr, shared.grad_pyr)[0]
+
+
+def _packed_feat(shared: PhotoShared) -> jax.Array:
+    if shared.packed_feat is not None:
+        return shared.packed_feat
+    return interp.pack_pairs(shared.feat_pyr.T)
 
 
 class PhotoKf0(NamedTuple):
@@ -76,7 +107,11 @@ def single_frame_shared(
     bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat
 ) -> PhotoShared:
     """Wrap one frame's arrays as a K=1 shared table (tests/training)."""
-    return PhotoShared(bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat)
+    packed_fg, packed_feat = build_packed_tables(feat_pyr, grad_pyr)
+    return PhotoShared(
+        bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat,
+        packed_fg, packed_feat,
+    )
 
 
 def _decode_depth_at(shared: PhotoShared, kf0: PhotoKf0, code0, scale0):
@@ -101,6 +136,26 @@ def _per_level_samples(
     ul, vl = interp.level_coords(u_full, v_full, rx, ry)
     return interp.bilinear_flat(
         pyr, ul, vl, cam_l.width, cam_l.height,
+        base + cam_pyr.level_offsets[level],
+    )
+
+
+def _per_level_packed(
+    cam_pyr: CameraPyramid,
+    level: int,
+    u_full: jax.Array,
+    v_full: jax.Array,
+    packed: jax.Array,  # [M + 1, 2C] pair-packed table
+    base: jax.Array,  # scalar frame offset (multiple of T)
+):
+    """Pair-packed variant of _per_level_samples -> [N, C]."""
+    cam_l = cam_pyr[level]
+    cam0 = cam_pyr[0]
+    rx = cam_l.fx / cam0.fx
+    ry = cam_l.fy / cam0.fy
+    ul, vl = interp.level_coords(u_full, v_full, rx, ry)
+    return interp.bilinear_packed(
+        packed, ul, vl, cam_l.width, cam_l.height,
         base + cam_pyr.level_offsets[level],
     )
 
@@ -147,12 +202,13 @@ def photometric_error(
 
     err_total = jnp.zeros((), within.dtype)
     n_inl = jnp.zeros((), within.dtype)
+    packed_feat = _packed_feat(shared)
     for lvl in range(cam_pyr.levels):
-        f0 = kf0.src_feats[lvl].T  # [C, N]
-        f1 = _per_level_samples(
-            cam_pyr, lvl, u1, v1, shared.feat_pyr, fr1.base_pyr
-        )
-        err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=0)
+        f0 = kf0.src_feats[lvl]  # [N, C]
+        f1 = _per_level_packed(
+            cam_pyr, lvl, u1, v1, packed_feat, fr1.base_pyr
+        )  # [N, C]
+        err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=-1)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
         if lvl == 0:
             n_inl = jnp.sum(pos * within)
@@ -204,22 +260,21 @@ def photometric_jac_error(
     n_inl = jnp.zeros((), dtype)
 
     c = shared.feat_pyr.shape[0]
-    g_flat = shared.grad_pyr.reshape(-1, shared.grad_pyr.shape[-1])  # [2C, K*T]
+    packed_fg = _packed_fg(shared)
 
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
-        f0 = kf0.src_feats[lvl].T  # [C, N]
-        f1 = _per_level_samples(
-            cam_pyr, lvl, u1, v1, shared.feat_pyr, fr1.base_pyr
-        )
-        # grad pyramid sampled at warped locations, gated (kernels :191-222)
-        g1 = _per_level_samples(
-            cam_pyr, lvl, u1, v1, g_flat, fr1.base_pyr
-        )
-        g1 = g1.reshape(2, c, -1) * gate  # [2, C, N]
+        f0 = kf0.src_feats[lvl]  # [N, C]
+        # ONE pair-packed gather covers features + grad pyramid at the
+        # warped locations (kernels :140-222) — 2 takes instead of 8
+        fg = _per_level_packed(
+            cam_pyr, lvl, u1, v1, packed_fg, fr1.base_pyr
+        )  # [N, 3C]
+        f1 = fg[:, :c]  # [N, C]
+        g1 = fg[:, c:].T.reshape(2, c, -1) * gate  # [2, C, N], gated
 
-        diff = gate * (f0 - f1)  # [C, N]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        diff = gate * (f0 - f1).T  # [C, N]
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
         if lvl == 0:
             n_inl = jnp.sum(gate)
 

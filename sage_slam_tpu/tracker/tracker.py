@@ -42,11 +42,27 @@ class TrackerRef(NamedTuple):
 
 
 class TrackerTarget(NamedTuple):
-    """Frame-to-track data."""
+    """Frame-to-track data.
+
+    packed_fg / packed_feat are optional pair-packed gather tables (see
+    ops/photometric.build_packed_tables); prebuild them per frame so the
+    LM while_loop's per-level sampling costs 2 gathers instead of 8."""
 
     feat_pyr: jax.Array  # [C, T]
     grad_pyr: jax.Array  # [2, C, T]
     mask_flat: jax.Array  # [HW] full-res video mask
+    packed_fg: jax.Array | None = None  # [T + 1, 2*3C]
+    packed_feat: jax.Array | None = None  # [T + 1, 2*C]
+
+    def with_packed(self) -> "TrackerTarget":
+        from ..ops.photometric import build_packed_tables
+
+        if self.packed_fg is not None:
+            return self
+        packed_fg, packed_feat = build_packed_tables(
+            self.feat_pyr, self.grad_pyr
+        )
+        return self._replace(packed_fg=packed_fg, packed_feat=packed_feat)
 
 
 def _sample_source_features(
@@ -106,24 +122,29 @@ def tracker_photo_jac_error(
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
 
+    from ..ops.photometric import build_packed_tables
+
+    packed_fg = (
+        target.packed_fg
+        if target.packed_fg is not None
+        else build_packed_tables(target.feat_pyr, target.grad_pyr)[0]
+    )
+    c = target.feat_pyr.shape[0]
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         rx = cam_l.fx / cam0.fx
         ry = cam_l.fy / cam0.fy
         ul, vl = interp.level_coords(u, v, rx, ry)
-        f1 = interp.bilinear_flat(
-            target.feat_pyr, ul, vl, cam_l.width, cam_l.height,
+        fg = interp.bilinear_packed(
+            packed_fg, ul, vl, cam_l.width, cam_l.height,
             cam_pyr.level_offsets[lvl],
-        )  # [C, N]
-        g_flat = target.grad_pyr.reshape(-1, target.grad_pyr.shape[-1])
-        g1 = interp.bilinear_flat(
-            g_flat, ul, vl, cam_l.width, cam_l.height,
-            cam_pyr.level_offsets[lvl],
-        ).reshape(2, -1, u.shape[0]) * gate  # [2, C, N]
+        )  # [N, 3C]
+        f1 = fg[:, :c]  # [N, C]
+        g1 = fg[:, c:].T.reshape(2, c, -1) * gate  # [2, C, N]
 
-        f0 = ref.cat_photo_feats0[lvl].T  # [C, N]
-        diff = gate * (f0 - f1)
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        f0 = ref.cat_photo_feats0[lvl]  # [N, C]
+        diff = gate * (f0 - f1).T  # [C, N]
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
         if lvl == 0:
             n_inl = jnp.sum(gate)
 
@@ -187,17 +208,22 @@ def tracker_photo_error(
     gate = pos * within
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
+    packed_feat = (
+        target.packed_feat
+        if target.packed_feat is not None
+        else interp.pack_pairs(target.feat_pyr.T)
+    )
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         ul, vl = interp.level_coords(
             u, v, cam_l.fx / cam0.fx, cam_l.fy / cam0.fy
         )
-        f1 = interp.bilinear_flat(
-            target.feat_pyr, ul, vl, cam_l.width, cam_l.height,
+        f1 = interp.bilinear_packed(
+            packed_feat, ul, vl, cam_l.width, cam_l.height,
             cam_pyr.level_offsets[lvl],
-        )
-        f0 = ref.cat_photo_feats0[lvl].T
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        )  # [N, C]
+        f0 = ref.cat_photo_feats0[lvl]  # [N, C]
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
         if lvl == 0:
             n_inl = jnp.sum(gate)
@@ -262,6 +288,9 @@ def lm_track(
     dpt_eps.
     """
     from ..geometry.se3 import se3_exp
+
+    # hoist the pair-packed gather tables out of the LM while_loop
+    target = target.with_packed()
 
     dim = 7 if with_scale else 6
     dtype = init_trans.dtype

@@ -187,12 +187,12 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 base_hw=zero, base_pyr=zero,
             )
             fr1 = photometric.PhotoFr1(base_pyr=zero)
-            photo_shared = photometric.PhotoShared(
-                bias_flat=f_src["bias_flat"],
-                jac_flat=f_src["jac_flat"],
-                feat_pyr=f_close["feat_pyr"],
-                grad_pyr=f_close["grad_pyr"],
-                mask_flat=mask.reshape(-1),
+            photo_shared = photometric.single_frame_shared(
+                f_src["bias_flat"],
+                f_src["jac_flat"],
+                f_close["feat_pyr"],
+                f_close["grad_pyr"],
+                mask.reshape(-1),
             )
             geo0 = geometric.GeoKf0(
                 loc1d=f_src["loc1d"], homo0=f_src["homo"], base_hw=zero,
