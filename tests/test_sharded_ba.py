@@ -36,8 +36,11 @@ def test_sharded_matches_single_device():
         v0, problem_sharded, pyr, cfg, mask, mesh, max_iters=4
     )
 
+    # atol: both errors converge to ~0; below f32 noise of the O(1)
+    # initial cost they are indistinguishable (reduction order differs
+    # between the single-device and psum paths)
     np.testing.assert_allclose(
-        float(err_single), float(err_multi), rtol=1e-4, atol=1e-8
+        float(err_single), float(err_multi), rtol=1e-4, atol=1e-6
     )
     np.testing.assert_allclose(
         np.array(v_single.pose.trans),
