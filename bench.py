@@ -108,11 +108,16 @@ def main():
     out = step(variables)
     jax.block_until_ready(out)
 
-    iters = 10
+    # Chain the variables through the steps (realistic LM usage) and sync
+    # once at the end: on the remote-dispatch TPU backend a sync costs
+    # ~24 ms regardless of queued work, so per-call blocking would measure
+    # tunnel latency, not device throughput.
+    iters = 50
+    v = variables
     t0 = time.time()
     for _ in range(iters):
-        out = step(variables)
-    jax.block_until_ready(out)
+        v, _, _ = step(v)
+    jax.block_until_ready(v)
     dt = (time.time() - t0) / iters
 
     factors_per_step = n_photo + n_geo

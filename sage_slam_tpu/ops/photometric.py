@@ -254,14 +254,26 @@ def photometric_jac_error(
     xw = residuals.points_world(kf0.homo0, depth0, p0)
     jac_x_pose0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
 
-    ata = jnp.zeros((dim, dim), dtype)
-    atb = jnp.zeros((dim,), dtype)
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
 
     c = shared.feat_pyr.shape[0]
     packed_fg = _packed_fg(shared)
 
+    # Per-channel Jacobian rows factor as J_nc = g_nc^T K_n with K_n [2, 29]
+    # shared geometry rows, collapsing the channel sum into a per-point 2x2
+    # gradient Gram (same algebra as the reference's L*N*C x 29 row matmul,
+    # photometric_factor_kernels.cpp:1143-1152, at ~1/30 the FLOPs).
+    # Moreover K_n at level l is just diag(rx_l, ry_l) K_n at level 0 (every
+    # u-row term is proportional to fx, every v-row term to fy), so the
+    # LEVEL sum also collapses:
+    #   AtA = K0^T (sum_l w_l S_l Gram_l S_l) K0,  S_l = diag(rx_l, ry_l)
+    # leaving ONE (29 x 2N)(2N x 29) matmul per edge instead of 4 — the
+    # tiny-M batched einsum per level was the BA hot spot on TPU.
+    g_acc = jnp.zeros((kf0.homo0.shape[0], 2, 2), dtype)  # [N, 2, 2]
+    hv_acc = jnp.zeros((kf0.homo0.shape[0], 2), dtype)  # [N, 2]
+
+    cam0_f = cam_pyr[0]
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         f0 = kf0.src_feats[lvl]  # [N, C]
@@ -271,42 +283,44 @@ def photometric_jac_error(
             cam_pyr, lvl, u1, v1, packed_fg, fr1.base_pyr
         )  # [N, 3C]
         f1 = fg[:, :c]  # [N, C]
-        g1 = fg[:, c:].T.reshape(2, c, -1) * gate  # [2, C, N], gated
+        # packed grad columns are (d, c)-ordered -> [N, 2, C], no transpose
+        g1 = fg[:, c:].reshape(-1, 2, c) * gate[:, None, None]
 
-        diff = gate * (f0 - f1).T  # [C, N]
+        diff = gate[:, None] * (f0 - f1)  # [N, C]
         err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
         if lvl == 0:
             n_inl = jnp.sum(gate)
 
-        # geometry jacobians at this level's focal lengths
-        jp = residuals.proj_jac_point(w.points_in_1, cam_l.fx, cam_l.fy)
-        j2d_pose0 = jnp.einsum("nij,njk->nik", jp, jac_x_pose0)  # [N,2,6]
-        j2d_dpt = residuals.proj_jac_depth(
-            w.rotated_homo, w.points_in_1, cam_l.fx, cam_l.fy
-        )  # [N, 2]
-        j2d_code = (
-            j2d_dpt[..., None] * (scale0 * dpt_jac_code_at)[:, None, :]
-        )  # [N, 2, CS]
-        j2d_scale = j2d_dpt * (depth0 / scale0)[..., None]  # [N, 2]
-
-        # Per-channel Jacobian rows factor as J_nc = g_nc^T K_n with
-        # K_n [2, 29] shared geometry rows, so the channel sum collapses
-        # into a per-point 2x2 gradient Gram:
-        #   sum_c J_nc^T J_nc = K_n^T (sum_c g_nc g_nc^T) K_n
-        #   sum_c J_nc^T r_nc = K_n^T (sum_c g_nc r_nc)
-        # — identical algebra to the reference's L*N*C x 29 row matmul
-        # (photometric_factor_kernels.cpp:1143-1152) at ~1/30 the FLOPs.
-        k_rows = jnp.concatenate(
-            [j2d_pose0, -j2d_pose0, j2d_code, j2d_scale[..., None]],
-            axis=-1,
-        )  # [N, 2, 29]
-        gram = jnp.einsum("dcn,ecn->nde", g1, g1)  # [N, 2, 2]
-        h_vec = jnp.einsum("dcn,cn->nd", g1, diff)  # [N, 2]
+        gram = jnp.einsum("ndc,nec->nde", g1, g1)  # [N, 2, 2]
+        h_vec = jnp.einsum("ndc,nc->nd", g1, diff)  # [N, 2]
 
         wl = jnp.asarray(weights[lvl], dtype)
-        ata = ata + wl * jnp.einsum("nap,nab,nbq->pq", k_rows, gram, k_rows)
-        atb = atb + wl * jnp.einsum("nap,na->p", k_rows, h_vec)
+        s = jnp.asarray(
+            [cam_l.fx / cam0_f.fx, cam_l.fy / cam0_f.fy], dtype
+        )  # [2] level focal ratios
+        g_acc = g_acc + (wl * s[:, None] * s[None, :]) * gram
+        hv_acc = hv_acc + (wl * s) * h_vec
         err_total = err_total + wl * jnp.sum(err_pt)
+
+    # geometry rows once, at full-res intrinsics
+    jp = residuals.proj_jac_point(w.points_in_1, cam0_f.fx, cam0_f.fy)
+    j2d_pose0 = jnp.einsum("nij,njk->nik", jp, jac_x_pose0)  # [N,2,6]
+    j2d_dpt = residuals.proj_jac_depth(
+        w.rotated_homo, w.points_in_1, cam0_f.fx, cam0_f.fy
+    )  # [N, 2]
+    j2d_code = (
+        j2d_dpt[..., None] * (scale0 * dpt_jac_code_at)[:, None, :]
+    )  # [N, 2, CS]
+    j2d_scale = j2d_dpt * (depth0 / scale0)[..., None]  # [N, 2]
+    k_rows = jnp.concatenate(
+        [j2d_pose0, -j2d_pose0, j2d_code, j2d_scale[..., None]],
+        axis=-1,
+    )  # [N, 2, 29]
+
+    kg = jnp.einsum("nab,nbq->naq", g_acc, k_rows)  # [N, 2, 29] (VPU)
+    k_flat = k_rows.reshape(-1, dim)  # [2N, 29]
+    ata = k_flat.T @ kg.reshape(-1, dim)  # ONE MXU matmul
+    atb = k_flat.T @ hv_acc.reshape(-1)
 
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     has_inl = n_inl > 0

@@ -117,8 +117,6 @@ def tracker_photo_jac_error(
         axis=-2,
     )  # [N, 3, 6]
 
-    ata = jnp.zeros((dim, dim), dtype)
-    atb = jnp.zeros((dim,), dtype)
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
 
@@ -130,6 +128,12 @@ def tracker_photo_jac_error(
         else build_packed_tables(target.feat_pyr, target.grad_pyr)[0]
     )
     c = target.feat_pyr.shape[0]
+    n = u.shape[0]
+    # channel-sum collapse via the per-point 2x2 gradient Gram, and level
+    # collapse via K_l = diag(rx_l, ry_l) K_0 (see ops/photometric.py):
+    # accumulate sum_l w_l S_l Gram_l S_l per point, contract once.
+    g_acc = jnp.zeros((n, 2, 2), dtype)
+    hv_acc = jnp.zeros((n, 2), dtype)
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         rx = cam_l.fx / cam0.fx
@@ -140,49 +144,55 @@ def tracker_photo_jac_error(
             cam_pyr.level_offsets[lvl],
         )  # [N, 3C]
         f1 = fg[:, :c]  # [N, C]
-        g1 = fg[:, c:].T.reshape(2, c, -1) * gate  # [2, C, N]
+        # packed grad columns are (d, c)-ordered -> [N, 2, C], no transpose
+        g1 = fg[:, c:].reshape(-1, 2, c) * gate[:, None, None]
 
         f0 = ref.cat_photo_feats0[lvl]  # [N, C]
-        diff = gate * (f0 - f1).T  # [C, N]
+        diff = gate[:, None] * (f0 - f1)  # [N, C]
         err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
         if lvl == 0:
             n_inl = jnp.sum(gate)
 
-        inv_z = 1.0 / x1[:, 2]
-        x_z = x1[:, 0] * inv_z
-        y_z = x1[:, 1] * inv_z
-        pj = jnp.stack(
-            [
-                jnp.stack(
-                    [cam_l.fx * inv_z, zero, -cam_l.fx * x_z * inv_z], axis=-1
-                ),
-                jnp.stack(
-                    [zero, cam_l.fy * inv_z, -cam_l.fy * y_z * inv_z], axis=-1
-                ),
-            ],
-            axis=-2,
-        )  # [N, 2, 3]
-        j2d = jnp.einsum("nij,njk->nik", pj, jac_rel)  # [N, 2, 6]
-        if scale0 is not None:
-            jdpt = jnp.stack(
-                [
-                    cam_l.fx * (rh[:, 0] * inv_z - x1[:, 0] * rh[:, 2] * inv_z**2),
-                    cam_l.fy * (rh[:, 1] * inv_z - x1[:, 1] * rh[:, 2] * inv_z**2),
-                ],
-                axis=-1,
-            )  # [N, 2]
-            jscale2d = jdpt * (ref.photo_dpts0 / scale0)[:, None]
-            k_rows = jnp.concatenate([j2d, jscale2d[..., None]], axis=-1)
-        else:
-            k_rows = j2d  # [N, 2, dim]
-        # channel-sum collapse via the per-point 2x2 gradient Gram (see
-        # ops/photometric.py) — same algebra as the reference reduction
-        gram = jnp.einsum("dcn,ecn->nde", g1, g1)  # [N, 2, 2]
-        h_vec = jnp.einsum("dcn,cn->nd", g1, diff)  # [N, 2]
+        gram = jnp.einsum("ndc,nec->nde", g1, g1)  # [N, 2, 2]
+        h_vec = jnp.einsum("ndc,nc->nd", g1, diff)  # [N, 2]
         wl = jnp.asarray(weights[lvl], dtype)
-        ata = ata + wl * jnp.einsum("nap,nab,nbq->pq", k_rows, gram, k_rows)
-        atb = atb + wl * jnp.einsum("nap,na->p", k_rows, h_vec)
+        s = jnp.asarray([rx, ry], dtype)
+        g_acc = g_acc + (wl * s[:, None] * s[None, :]) * gram
+        hv_acc = hv_acc + (wl * s) * h_vec
         err_total = err_total + wl * jnp.sum(err_pt)
+
+    # geometry rows once, at full-res intrinsics
+    inv_z = 1.0 / x1[:, 2]
+    x_z = x1[:, 0] * inv_z
+    y_z = x1[:, 1] * inv_z
+    pj = jnp.stack(
+        [
+            jnp.stack(
+                [cam0.fx * inv_z, zero, -cam0.fx * x_z * inv_z], axis=-1
+            ),
+            jnp.stack(
+                [zero, cam0.fy * inv_z, -cam0.fy * y_z * inv_z], axis=-1
+            ),
+        ],
+        axis=-2,
+    )  # [N, 2, 3]
+    j2d = jnp.einsum("nij,njk->nik", pj, jac_rel)  # [N, 2, 6]
+    if scale0 is not None:
+        jdpt = jnp.stack(
+            [
+                cam0.fx * (rh[:, 0] * inv_z - x1[:, 0] * rh[:, 2] * inv_z**2),
+                cam0.fy * (rh[:, 1] * inv_z - x1[:, 1] * rh[:, 2] * inv_z**2),
+            ],
+            axis=-1,
+        )  # [N, 2]
+        jscale2d = jdpt * (ref.photo_dpts0 / scale0)[:, None]
+        k_rows = jnp.concatenate([j2d, jscale2d[..., None]], axis=-1)
+    else:
+        k_rows = j2d  # [N, 2, dim]
+    kg = jnp.einsum("nab,nbq->naq", g_acc, k_rows)  # [N, 2, dim]
+    k_flat = k_rows.reshape(-1, dim)  # [2N, dim]
+    ata = k_flat.T @ kg.reshape(-1, dim)
+    atb = k_flat.T @ hv_acc.reshape(-1)
 
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     has = n_inl > 0
