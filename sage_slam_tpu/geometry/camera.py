@@ -80,3 +80,20 @@ class CameraPyramid:
     @property
     def total_pixels(self) -> int:
         return sum(c.num_pixels for c in self.cameras)
+
+    @property
+    def quad_level_offsets(self) -> Tuple[int, ...]:
+        """Start offset of each level in a quad-packed pyramid table
+        (interp.pack_quads_level): level l occupies
+        ``num_pixels_l + width_l + 1`` rows."""
+        offsets = []
+        acc = 0
+        for cam in self.cameras:
+            offsets.append(acc)
+            acc += cam.num_pixels + cam.width + 1
+        return tuple(offsets)
+
+    @property
+    def total_quad_rows(self) -> int:
+        """Rows of one frame's quad-packed pyramid table."""
+        return sum(c.num_pixels + c.width + 1 for c in self.cameras)

@@ -137,6 +137,80 @@ def bilinear_packed(
     return a[..., :c] * w00 + a[..., c:] * w10 + b[..., :c] * w01 + b[..., c:] * w11
 
 
+def pack_quads_level(rows: jax.Array, width: int) -> jax.Array:
+    """Pack ONE row-major level image [..., M, C] (M = width*height) into
+    quad rows [..., M + width + 1, 4C] holding all four bilinear corners:
+
+      out[q] = (rows[q-w-1], rows[q-w], rows[q-1], rows[q]),  w = width
+
+    so the gather at ``q = (w+1) + y0*w + x0`` yields the corners
+    (x0,y0), (x1,y0), (x0,y1), (x1,y1) in slots 0..3 — a 4-corner bilinear
+    costs ONE dynamic gather. Out-of-image slots read zero padding or a
+    neighboring row, but only for corners whose bounds weight is exactly
+    zero (same argument as pack_pairs). Unlike pack_pairs this needs the
+    level width, so multi-level pyramids pack per level segment.
+    """
+    m, c = rows.shape[-2:]
+    z = jnp.zeros(rows.shape[:-2] + (width + 1, c), rows.dtype)
+    ext = jnp.concatenate([z, rows, z], axis=-2)  # ext[j] = rows[j-w-1]
+    n = m + width + 1
+    return jnp.concatenate(
+        [
+            ext[..., 0:n, :],
+            ext[..., 1 : n + 1, :],
+            ext[..., width : n + width, :],
+            ext[..., width + 1 : n + width + 1, :],
+        ],
+        axis=-1,
+    )
+
+
+def bilinear_quad(
+    packed: jax.Array,  # [total_q, 4C] from pack_quads_level (concatenated)
+    x: jax.Array,  # [N] pixel x (level coords)
+    y: jax.Array,  # [N] pixel y (level coords)
+    width: int,
+    height: int,
+    offset=0,  # scalar: start row of this level segment in `packed`
+) -> jax.Array:
+    """Zero-padding bilinear gather from a quad-packed level -> [N, C].
+
+    Bit-equivalent semantics to :func:`bilinear_flat` (per-corner
+    WITHIN_BOUNDS zero padding, photometric_factor_kernels.cpp:106-139),
+    with ONE dynamic gather per point instead of four (or pack_pairs' two).
+    """
+    c = packed.shape[-1] // 4
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx0 = x0 + 1.0 - x
+    wy0 = y0 + 1.0 - y
+    wx1 = 1.0 - wx0
+    wy1 = 1.0 - wy0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    dt = packed.dtype
+    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
+    bx1 = ((xi0 + 1 >= 0) & (xi0 + 1 < width)).astype(dt)
+    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
+    by1 = ((yi0 + 1 >= 0) & (yi0 + 1 < height)).astype(dt)
+    # clip to [-1, dim-1] so q stays inside this level's segment; clipped
+    # coordinates always carry zero bounds weight (computed pre-clip)
+    xc = jnp.clip(xi0, -1, width - 1)
+    yc = jnp.clip(yi0, -1, height - 1)
+    q = offset + (width + 1) + yc * width + xc
+    rowv = jnp.take(packed, q, axis=0)  # [N, 4C]
+    w00 = (wx0 * wy0 * bx0 * by0)[:, None]
+    w10 = (wx1 * wy0 * bx1 * by0)[:, None]
+    w01 = (wx0 * wy1 * bx0 * by1)[:, None]
+    w11 = (wx1 * wy1 * bx1 * by1)[:, None]
+    return (
+        rowv[:, :c] * w00
+        + rowv[:, c : 2 * c] * w10
+        + rowv[:, 2 * c : 3 * c] * w01
+        + rowv[:, 3 * c :] * w11
+    )
+
+
 def nearest_flat(
     img_flat: jax.Array,  # [C, total] or [total]
     x: jax.Array,

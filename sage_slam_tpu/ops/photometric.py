@@ -45,42 +45,67 @@ class PhotoShared(NamedTuple):
       feat_pyr [C, K*T], grad_pyr [2, C, K*T], mask_flat [HW].
     Pass with vmap in_axes=None.
 
-    packed_fg / packed_feat are optional pair-packed gather tables
-    (interp.pack_pairs over [feat | grad] rows / feat rows): with them the
-    4-level linearization needs 2 gathers per level instead of 8 — the
-    gather passes are ~90% of linearize time on TPU. Built lazily when
-    absent; precompute via :func:`build_packed_tables` to hoist the packing
-    out of an LM while_loop."""
+    packed_fg / packed_feat are optional QUAD-packed gather tables
+    (interp.pack_quads_level over [feat | grad] rows / feat rows, per level
+    segment): with them a 4-corner bilinear of features+gradients costs ONE
+    dynamic gather per point per level — the gather passes are ~90% of
+    linearize time on TPU. Built lazily when absent; precompute via
+    :func:`build_packed_tables` to hoist the packing out of an LM
+    while_loop. Layout: [K * Tq, 4*3C] with Tq = cam_pyr.total_quad_rows;
+    frame k's level l segment starts at k*Tq + quad_level_offsets[l]."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     feat_pyr: jax.Array
     grad_pyr: jax.Array
     mask_flat: jax.Array
-    packed_fg: jax.Array | None = None  # [K*T + 1, 2*3C]
-    packed_feat: jax.Array | None = None  # [K*T + 1, 2*C]
+    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C]
+    packed_feat: jax.Array | None = None  # [K*Tq, 4*C]
 
 
-def build_packed_tables(feat_pyr: jax.Array, grad_pyr: jax.Array):
-    """(packed_fg, packed_feat) pair-packed gather tables from the shared
-    channel-major pyramids feat_pyr [C, M], grad_pyr [2, C, M]."""
-    featT = feat_pyr.T  # [M, C]
-    gradT = grad_pyr.reshape(-1, grad_pyr.shape[-1]).T  # [M, 2C], d-major
-    packed_fg = interp.pack_pairs(jnp.concatenate([featT, gradT], axis=-1))
-    packed_feat = interp.pack_pairs(featT)
+def _pack_pyramid_quads(rows: jax.Array, cam_pyr: CameraPyramid):
+    """Quad-pack [K, T, C] per level segment -> [K*Tq, 4C]."""
+    k, _, c = rows.shape
+    segs = []
+    for lvl, cam in enumerate(cam_pyr.cameras):
+        off = cam_pyr.level_offsets[lvl]
+        seg = rows[:, off : off + cam.num_pixels]
+        segs.append(interp.pack_quads_level(seg, cam.width))
+    out = jnp.concatenate(segs, axis=1)  # [K, Tq, 4C]
+    return out.reshape(-1, 4 * c)
+
+
+def build_packed_tables(
+    feat_pyr: jax.Array, grad_pyr: jax.Array, cam_pyr: CameraPyramid
+):
+    """(packed_fg, packed_feat) quad-packed gather tables from the shared
+    channel-major pyramids feat_pyr [C, K*T], grad_pyr [2, C, K*T]."""
+    c, m = feat_pyr.shape
+    t = cam_pyr.total_pixels
+    k = m // t
+    featT = feat_pyr.T.reshape(k, t, c)
+    gradT = grad_pyr.reshape(2 * c, m).T.reshape(k, t, 2 * c)  # d-major cols
+    rows_fg = jnp.concatenate([featT, gradT], axis=-1)  # [K, T, 3C]
+    packed_fg = _pack_pyramid_quads(rows_fg, cam_pyr)
+    packed_feat = _pack_pyramid_quads(featT, cam_pyr)
     return packed_fg, packed_feat
 
 
-def _packed_fg(shared: PhotoShared) -> jax.Array:
+def _packed_fg(shared: PhotoShared, cam_pyr: CameraPyramid) -> jax.Array:
     if shared.packed_fg is not None:
         return shared.packed_fg
-    return build_packed_tables(shared.feat_pyr, shared.grad_pyr)[0]
+    return build_packed_tables(shared.feat_pyr, shared.grad_pyr, cam_pyr)[0]
 
 
-def _packed_feat(shared: PhotoShared) -> jax.Array:
+def _packed_feat(shared: PhotoShared, cam_pyr: CameraPyramid) -> jax.Array:
     if shared.packed_feat is not None:
         return shared.packed_feat
-    return interp.pack_pairs(shared.feat_pyr.T)
+    c = shared.feat_pyr.shape[0]
+    t = cam_pyr.total_pixels
+    k = shared.feat_pyr.shape[-1] // t
+    return _pack_pyramid_quads(
+        shared.feat_pyr.T.reshape(k, t, c), cam_pyr
+    )
 
 
 class PhotoKf0(NamedTuple):
@@ -104,10 +129,15 @@ class PhotoFr1(NamedTuple):
 
 
 def single_frame_shared(
-    bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat
+    bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat,
+    cam_pyr: CameraPyramid | None = None,
 ) -> PhotoShared:
-    """Wrap one frame's arrays as a K=1 shared table (tests/training)."""
-    packed_fg, packed_feat = build_packed_tables(feat_pyr, grad_pyr)
+    """Wrap one frame's arrays as a K=1 shared table (tests/training).
+    With cam_pyr the quad gather tables are prebuilt; without, they are
+    built lazily inside the factor evaluation."""
+    if cam_pyr is None:
+        return PhotoShared(bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat)
+    packed_fg, packed_feat = build_packed_tables(feat_pyr, grad_pyr, cam_pyr)
     return PhotoShared(
         bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat,
         packed_fg, packed_feat,
@@ -145,18 +175,20 @@ def _per_level_packed(
     level: int,
     u_full: jax.Array,
     v_full: jax.Array,
-    packed: jax.Array,  # [M + 1, 2C] pair-packed table
-    base: jax.Array,  # scalar frame offset (multiple of T)
+    packed: jax.Array,  # [K*Tq, 4C] quad-packed table
+    base: jax.Array,  # scalar frame PIXEL offset (multiple of T)
 ):
-    """Pair-packed variant of _per_level_samples -> [N, C]."""
+    """Quad-packed variant of _per_level_samples -> [N, C] (one gather)."""
     cam_l = cam_pyr[level]
     cam0 = cam_pyr[0]
     rx = cam_l.fx / cam0.fx
     ry = cam_l.fy / cam0.fy
     ul, vl = interp.level_coords(u_full, v_full, rx, ry)
-    return interp.bilinear_packed(
+    # convert the frame pixel offset into the quad-table frame offset
+    qbase = (base // cam_pyr.total_pixels) * cam_pyr.total_quad_rows
+    return interp.bilinear_quad(
         packed, ul, vl, cam_l.width, cam_l.height,
-        base + cam_pyr.level_offsets[level],
+        qbase + cam_pyr.quad_level_offsets[level],
     )
 
 
@@ -202,7 +234,7 @@ def photometric_error(
 
     err_total = jnp.zeros((), within.dtype)
     n_inl = jnp.zeros((), within.dtype)
-    packed_feat = _packed_feat(shared)
+    packed_feat = _packed_feat(shared, cam_pyr)
     for lvl in range(cam_pyr.levels):
         f0 = kf0.src_feats[lvl]  # [N, C]
         f1 = _per_level_packed(
@@ -258,7 +290,7 @@ def photometric_jac_error(
     n_inl = jnp.zeros((), dtype)
 
     c = shared.feat_pyr.shape[0]
-    packed_fg = _packed_fg(shared)
+    packed_fg = _packed_fg(shared, cam_pyr)
 
     # Per-channel Jacobian rows factor as J_nc = g_nc^T K_n with K_n [2, 29]
     # shared geometry rows, collapsing the channel sum into a per-point 2x2

@@ -89,8 +89,10 @@ def sharded_run_ba(
             pose_valid=priors.pose_valid * gate,
             pose_target=priors.pose_target,
         )
-        # build pair-packed gather tables once, outside the LM while_loop
-        gated = ba.prepare_problem(ba.BAProblem(window, pe, ge, gated_priors))
+        # build quad-packed gather tables once, outside the LM while_loop
+        gated = ba.prepare_problem(
+            ba.BAProblem(window, pe, ge, gated_priors), cam_pyr
+        )
 
         def linearize_fn(vv):
             h, b, err = ba.linearize(vv, gated, cam_pyr, cfg)

@@ -40,20 +40,22 @@ class WindowData(NamedTuple):
     src_feats: jax.Array  # [K, L, N, C] cached per-level source samples
     avg_sq_bias: jax.Array  # [K] masked mean of squared depth bias
     mask_flat: jax.Array  # [HW] shared video mask (full res)
-    # pair-packed gather tables (ops/photometric.build_packed_tables);
+    # quad-packed gather tables (ops/photometric.build_packed_tables);
     # filled by prepare_problem so packing is hoisted out of the LM loop
-    packed_fg: jax.Array | None = None  # [K*T + 1, 2*3C]
-    packed_feat: jax.Array | None = None  # [K*T + 1, 2*C]
+    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C]
+    packed_feat: jax.Array | None = None  # [K*Tq, 4*C]
 
 
-def prepare_problem(problem: "BAProblem") -> "BAProblem":
-    """Precompute the window's pair-packed gather tables (idempotent)."""
+def prepare_problem(
+    problem: "BAProblem", cam_pyr: CameraPyramid
+) -> "BAProblem":
+    """Precompute the window's quad-packed gather tables (idempotent)."""
     w = problem.window
     if w.packed_fg is not None:
         return problem
     c = w.feat_pyr.shape[0]
     packed_fg, packed_feat = photometric.build_packed_tables(
-        w.feat_pyr.reshape(c, -1), w.grad_pyr.reshape(2, c, -1)
+        w.feat_pyr.reshape(c, -1), w.grad_pyr.reshape(2, c, -1), cam_pyr
     )
     return problem._replace(
         window=w._replace(packed_fg=packed_fg, packed_feat=packed_feat)
@@ -438,7 +440,7 @@ def run_ba(
 ):
     """Window BA: damped GN until convergence/budget. Fully jittable."""
     iters = max_iters if max_iters is not None else cfg.max_gn_iters
-    problem = prepare_problem(problem)
+    problem = prepare_problem(problem, cam_pyr)
     return graph.lm_loop(
         variables,
         lambda v: linearize(v, problem, cam_pyr, cfg),

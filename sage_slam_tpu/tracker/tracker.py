@@ -44,23 +44,23 @@ class TrackerRef(NamedTuple):
 class TrackerTarget(NamedTuple):
     """Frame-to-track data.
 
-    packed_fg / packed_feat are optional pair-packed gather tables (see
+    packed_fg / packed_feat are optional quad-packed gather tables (see
     ops/photometric.build_packed_tables); prebuild them per frame so the
-    LM while_loop's per-level sampling costs 2 gathers instead of 8."""
+    LM while_loop's per-level sampling costs ONE gather instead of 8."""
 
     feat_pyr: jax.Array  # [C, T]
     grad_pyr: jax.Array  # [2, C, T]
     mask_flat: jax.Array  # [HW] full-res video mask
-    packed_fg: jax.Array | None = None  # [T + 1, 2*3C]
-    packed_feat: jax.Array | None = None  # [T + 1, 2*C]
+    packed_fg: jax.Array | None = None  # [Tq, 4*3C]
+    packed_feat: jax.Array | None = None  # [Tq, 4*C]
 
-    def with_packed(self) -> "TrackerTarget":
+    def with_packed(self, cam_pyr) -> "TrackerTarget":
         from ..ops.photometric import build_packed_tables
 
         if self.packed_fg is not None:
             return self
         packed_fg, packed_feat = build_packed_tables(
-            self.feat_pyr, self.grad_pyr
+            self.feat_pyr, self.grad_pyr, cam_pyr
         )
         return self._replace(packed_fg=packed_fg, packed_feat=packed_feat)
 
@@ -125,7 +125,7 @@ def tracker_photo_jac_error(
     packed_fg = (
         target.packed_fg
         if target.packed_fg is not None
-        else build_packed_tables(target.feat_pyr, target.grad_pyr)[0]
+        else build_packed_tables(target.feat_pyr, target.grad_pyr, cam_pyr)[0]
     )
     c = target.feat_pyr.shape[0]
     n = u.shape[0]
@@ -139,9 +139,9 @@ def tracker_photo_jac_error(
         rx = cam_l.fx / cam0.fx
         ry = cam_l.fy / cam0.fy
         ul, vl = interp.level_coords(u, v, rx, ry)
-        fg = interp.bilinear_packed(
+        fg = interp.bilinear_quad(
             packed_fg, ul, vl, cam_l.width, cam_l.height,
-            cam_pyr.level_offsets[lvl],
+            cam_pyr.quad_level_offsets[lvl],
         )  # [N, 3C]
         f1 = fg[:, :c]  # [N, C]
         # packed grad columns are (d, c)-ordered -> [N, 2, C], no transpose
@@ -218,19 +218,22 @@ def tracker_photo_error(
     gate = pos * within
     err_total = jnp.zeros((), dtype)
     n_inl = jnp.zeros((), dtype)
-    packed_feat = (
-        target.packed_feat
-        if target.packed_feat is not None
-        else interp.pack_pairs(target.feat_pyr.T)
-    )
+    if target.packed_feat is not None:
+        packed_feat = target.packed_feat
+    else:
+        from ..ops.photometric import build_packed_tables
+
+        packed_feat = build_packed_tables(
+            target.feat_pyr, target.grad_pyr, cam_pyr
+        )[1]
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         ul, vl = interp.level_coords(
             u, v, cam_l.fx / cam0.fx, cam_l.fy / cam0.fy
         )
-        f1 = interp.bilinear_packed(
+        f1 = interp.bilinear_quad(
             packed_feat, ul, vl, cam_l.width, cam_l.height,
-            cam_pyr.level_offsets[lvl],
+            cam_pyr.quad_level_offsets[lvl],
         )  # [N, C]
         f0 = ref.cat_photo_feats0[lvl]  # [N, C]
         err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
@@ -299,8 +302,8 @@ def lm_track(
     """
     from ..geometry.se3 import se3_exp
 
-    # hoist the pair-packed gather tables out of the LM while_loop
-    target = target.with_packed()
+    # hoist the quad-packed gather tables out of the LM while_loop
+    target = target.with_packed(cam_pyr)
 
     dim = 7 if with_scale else 6
     dtype = init_trans.dtype

@@ -193,6 +193,7 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 f_close["feat_pyr"],
                 f_close["grad_pyr"],
                 mask.reshape(-1),
+                cam_pyr,
             )
             geo0 = geometric.GeoKf0(
                 loc1d=f_src["loc1d"], homo0=f_src["homo"], base_hw=zero,
