@@ -38,11 +38,20 @@ from . import residuals
 
 class GeoShared(NamedTuple):
     """Shared flat depth tables: bias_flat [K*HW], jac_flat [K*HW, CS],
-    mask_flat [HW]."""
+    mask_flat [HW].
+
+    packed_full / packed_dpt are optional quad-packed gather tables over
+    the CURRENT variables' decoded frame-1 rows (build_frame1_tables);
+    they hoist the per-edge full-frame depth decode + spatial grad + pack
+    out of the per-edge path (edges sharing a target keyframe re-used to
+    redo it per edge). They depend on (code, scale), so they are rebuilt
+    once per linearization, not once per problem."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     mask_flat: jax.Array
+    packed_full: jax.Array | None = None  # [K*R, 4*(3+CS)], R = HW+w+1
+    packed_dpt: jax.Array | None = None  # [K*R, 4]
 
 
 class GeoKf0(NamedTuple):
@@ -55,6 +64,41 @@ class GeoKf1(NamedTuple):
     base_hw: jax.Array  # scalar int32 kf1_index * HW
 
 
+def build_frame1_tables(
+    bias: jax.Array,  # [K, HW]
+    jac: jax.Array,  # [K, HW, CS]
+    codes: jax.Array,  # [K, CS]
+    scales: jax.Array,  # [K]
+    cam: PinholeCamera,
+):
+    """Quad-packed per-keyframe frame-1 tables for the CURRENT variables:
+    (packed_full [K*R, 4*(3+CS)] holding [scaled depth | scaled grad (2) |
+    raw code jacobian], packed_dpt [K*R, 4] scaled depth only)."""
+    from .pyramid import spatial_grad
+
+    k, hw = bias.shape
+    h, w = cam.height, cam.width
+    unscaled = bias + jnp.einsum("khc,kc->kh", jac, codes)  # [K, HW]
+    grad = spatial_grad(unscaled.reshape(k, h, w))  # [2, K, H, W]
+    dpt = scales[:, None] * unscaled  # [K, HW]
+    grad_rows = (
+        scales[None, :, None] * grad.reshape(2, k, hw)
+    ).transpose(1, 2, 0)  # [K, HW, 2]
+    rows = jnp.concatenate([dpt[..., None], grad_rows, jac], axis=-1)
+    packed_full = interp.pack_quads_level(rows, w).reshape(
+        k * (hw + w + 1), -1
+    )
+    packed_dpt = interp.pack_quads_level(dpt[..., None], w).reshape(
+        k * (hw + w + 1), -1
+    )
+    return packed_full, packed_dpt
+
+
+def _quad_base(kf1: GeoKf1, hw: int, w: int):
+    """Frame-1 row offset in the quad tables from the pixel offset."""
+    return (kf1.base_hw // hw) * (hw + w + 1)
+
+
 def _decode_depth0(shared: GeoShared, kf0: GeoKf0, code0, scale0):
     loc = kf0.base_hw + kf0.loc1d
     bias = jnp.take(shared.bias_flat, loc)
@@ -64,7 +108,8 @@ def _decode_depth0(shared: GeoShared, kf0: GeoKf0, code0, scale0):
 
 def _decode_frame1(shared: GeoShared, kf1: GeoKf1, code1, scale1, hw, h, w):
     """Full-frame scaled depth + spatial grad of kf1
-    (geometric_factor.cpp:317-320, 340-341)."""
+    (geometric_factor.cpp:317-320, 340-341). Fallback when the shared
+    quad tables are absent (tests / standalone use)."""
     from .pyramid import spatial_grad
 
     bias1 = jax.lax.dynamic_slice(shared.bias_flat, (kf1.base_hw,), (hw,))
@@ -105,15 +150,21 @@ def geometric_jac_error(
         warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
     )
 
-    dpt_map_1, dpt_grad_1, jac1_full = _decode_frame1(
-        shared, kf1, code1, scale1, hw, h, w
-    )
-    # ONE pair-packed gather for [depth | grad | code-jacobian rows]
-    # (2 takes instead of the 16 of three separate bilinear passes)
-    rows1 = jnp.concatenate(
-        [dpt_map_1[:, None], dpt_grad_1.T, jac1_full], axis=-1
-    )  # [HW, 3+CS]
-    v = interp.bilinear_packed(interp.pack_pairs(rows1), u1, v1, w, h)
+    # ONE quad-packed gather for [depth | grad | code-jacobian rows]
+    if shared.packed_full is not None:
+        v = interp.bilinear_quad(
+            shared.packed_full, u1, v1, w, h, _quad_base(kf1, hw, w)
+        )
+    else:
+        dpt_map_1, dpt_grad_1, jac1_full = _decode_frame1(
+            shared, kf1, code1, scale1, hw, h, w
+        )
+        rows1 = jnp.concatenate(
+            [dpt_map_1[:, None], dpt_grad_1.T, jac1_full], axis=-1
+        )  # [HW, 3+CS]
+        v = interp.bilinear_quad(
+            interp.pack_quads_level(rows1, w), u1, v1, w, h
+        )
     d1 = v[:, 0]  # [N]
     g1 = v[:, 1:3].T  # [2, N]
     jac1 = v[:, 3:]  # [N, CS] raw
@@ -193,14 +244,21 @@ def geometric_error(
     u1, v1 = residuals.project_full_res(
         warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
     )
-    bias1 = jax.lax.dynamic_slice(shared.bias_flat, (kf1.base_hw,), (hw,))
-    jac1 = jax.lax.dynamic_slice(
-        shared.jac_flat, (kf1.base_hw, 0), (hw, shared.jac_flat.shape[-1])
-    )
-    dpt_map_1 = scale1 * (bias1 + jac1 @ code1)
-    d1 = interp.bilinear_packed(
-        interp.pack_pairs(dpt_map_1[:, None]), u1, v1, w, h
-    )[:, 0]
+    if shared.packed_dpt is not None:
+        d1 = interp.bilinear_quad(
+            shared.packed_dpt, u1, v1, w, h, _quad_base(kf1, hw, w)
+        )[:, 0]
+    else:
+        bias1 = jax.lax.dynamic_slice(
+            shared.bias_flat, (kf1.base_hw,), (hw,)
+        )
+        jac1 = jax.lax.dynamic_slice(
+            shared.jac_flat, (kf1.base_hw, 0), (hw, shared.jac_flat.shape[-1])
+        )
+        dpt_map_1 = scale1 * (bias1 + jac1 @ code1)
+        d1 = interp.bilinear_quad(
+            interp.pack_quads_level(dpt_map_1[:, None], w), u1, v1, w, h
+        )[:, 0]
     within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
     pos = warped.pos_depth.astype(d1.dtype)
     raw = d1 - warped.points_in_1[..., 2]

@@ -138,7 +138,9 @@ def _photo_inputs(window: WindowData, e: EdgeTable):
     return kf0, fr1, shared
 
 
-def _geo_inputs(window: WindowData, e: EdgeTable):
+def _geo_inputs(
+    window: WindowData, e: EdgeTable, variables: Variables, cam
+):
     hw = window.bias_flat.shape[-1]
     cs = window.jac_flat.shape[-1]
     kf0 = geometric.GeoKf0(
@@ -147,10 +149,18 @@ def _geo_inputs(window: WindowData, e: EdgeTable):
         base_hw=e.i0 * hw,
     )
     kf1 = geometric.GeoKf1(base_hw=e.i1 * hw)
+    # frame-1 decode + quad pack ONCE PER KEYFRAME per linearization —
+    # edges sharing a target keyframe reuse the table (in_axes=None)
+    packed_full, packed_dpt = geometric.build_frame1_tables(
+        window.bias_flat, window.jac_flat,
+        variables.code, variables.scale, cam,
+    )
     shared = geometric.GeoShared(
         bias_flat=window.bias_flat.reshape(-1),
         jac_flat=window.jac_flat.reshape(-1, cs),
         mask_flat=window.mask_flat,
+        packed_full=packed_full,
+        packed_dpt=packed_dpt,
     )
     return kf0, kf1, shared
 
@@ -217,7 +227,7 @@ def linearize(
     # ---- geometric edges: vars (p0, p1, c0, c1, s0, s1), dim 14+2CS ----
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1, gshared = _geo_inputs(problem.window, ge)
+        kf0, kf1, gshared = _geo_inputs(problem.window, ge, variables, cam_pyr[0])
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
@@ -359,7 +369,7 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
 
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1, gshared = _geo_inputs(problem.window, ge)
+        kf0, kf1, gshared = _geo_inputs(problem.window, ge, variables, cam_pyr[0])
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
