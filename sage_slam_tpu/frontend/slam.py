@@ -180,21 +180,36 @@ class SlamSystem:
             return self.store.num_active - 1
         if self.cfg.tracking_mode == "FIRST":
             return 0
-        k = self.store.num_active
-        poses = SE3(
-            self.store.variables.pose.rot[:k],
-            self.store.variables.pose.trans[:k],
+        # full-capacity masked argmin: static shapes -> compiled ONCE
+        # (a [:num_active] slice re-traced the program per keyframe count)
+        if not hasattr(self, "_select_fn"):
+            kcap = self.store.capacity
+
+            def _select(rot, trans, f_rot, f_trans, n_active):
+                dists = se3m.pose_distance(
+                    SE3(rot, trans),
+                    SE3(
+                        jnp.broadcast_to(f_rot, (kcap, 3, 3)),
+                        jnp.broadcast_to(f_trans, (kcap, 3)),
+                    ),
+                    self.cfg.keyframe.pose_dist_trans_weight,
+                    self.cfg.keyframe.pose_dist_rot_weight,
+                )
+                idx = jnp.arange(kcap)
+                return jnp.argmin(
+                    jnp.where(idx < n_active, dists, jnp.inf)
+                )
+
+            self._select_fn = jax.jit(_select)
+        return int(
+            self._select_fn(
+                self.store.variables.pose.rot,
+                self.store.variables.pose.trans,
+                frame_pose.rot,
+                frame_pose.trans,
+                self.store.num_active,
+            )
         )
-        dists = se3m.pose_distance(
-            poses,
-            SE3(
-                jnp.broadcast_to(frame_pose.rot, (k, 3, 3)),
-                jnp.broadcast_to(frame_pose.trans, (k, 3)),
-            ),
-            self.cfg.keyframe.pose_dist_trans_weight,
-            self.cfg.keyframe.pose_dist_rot_weight,
-        )
-        return int(jnp.argmin(dists))
 
     # ------------------------------------------------------------------
 
@@ -222,12 +237,13 @@ class SlamSystem:
         mg = self._match_geo(self.curr_kf, fr)
         kf_depth_at = mg.dpts0
 
+        # reproj_weight stays a DEVICE scalar — no host sync before tracking
         terms = TrackTerms(
             reproj_dpts0=kf_depth_at,
             reproj_homo0=mg.homo0,
             reproj_matched_2d=mg.matched_2d_1,
             reproj_valid=mg.inliers,
-            reproj_weight=float(mg.desc_inlier_ratio)
+            reproj_weight=mg.desc_inlier_ratio
             * self.cfg.tracker.reproj_factor_weight,
             reproj_loss_param=self.cfg.tracker.reproj_loss_param_factor
             * self.cam.width**2,
@@ -260,26 +276,44 @@ class SlamSystem:
             self.mapper.mask_flat,
             self.cfg.tracker.dpt_eps,
         )
-        src2d = np.array(metrics["source_2d"])
-        warp2d = np.array(metrics["warped_2d"])
-        within = np.array(metrics["within"]) > 0.5
-        a0 = tracker.convex_hull_area(src2d)
-        a1 = tracker.convex_hull_area(warp2d[within]) if within.any() else 0.0
-        area_ratio = a1 / a0 if a0 > 0 else 0.0
-        inlier_ratio = float(metrics["inlier_ratio"])
-        avg_motion = float(metrics["average_motion"])
-        desc_ratio = float(mg.relative_desc_inlier_ratio)
-
         frame_pose = se3m.compose(
             self.store.pose(self.curr_kf), se3m.inverse(self.pose_ck)
         )
+
+        # ONE batched device->host transfer for every per-frame scalar and
+        # hull array (each separate float()/np.array() costs a full sync;
+        # on a remote-dispatch backend a sync is ~24 ms regardless of size)
+        host = jax.device_get(
+            dict(
+                src2d=metrics["source_2d"],
+                warp2d=metrics["warped_2d"],
+                within=metrics["within"],
+                inlier_ratio=metrics["inlier_ratio"],
+                average_motion=metrics["average_motion"],
+                desc_ratio=mg.relative_desc_inlier_ratio,
+                err=res.error,
+                pose_dist=se3m.pose_distance(
+                    self.store.pose(self.curr_kf), frame_pose, 1.0, 1.0
+                ),
+            )
+        )
+        src2d = host["src2d"]
+        warp2d = host["warp2d"]
+        within = host["within"] > 0.5
+        a0 = tracker.convex_hull_area(src2d)
+        a1 = tracker.convex_hull_area(warp2d[within]) if within.any() else 0.0
+        area_ratio = a1 / a0 if a0 > 0 else 0.0
+        inlier_ratio = float(host["inlier_ratio"])
+        avg_motion = float(host["average_motion"])
+        desc_ratio = float(host["desc_ratio"])
+
         fr.pose = frame_pose
         self.trajectory.append((timestamp, frame_pose))
 
         # tracking-lost detection (CheckTrackingLost,
         # deepfactors_options.h:53-55)
         lost = (
-            float(res.error) > self.cfg.tracking_lost_min_error
+            float(host["err"]) > self.cfg.tracking_lost_min_error
             or area_ratio < self.cfg.tracking_lost_max_area_ratio
             or inlier_ratio < self.cfg.tracking_lost_max_inlier_ratio
         )
@@ -298,12 +332,8 @@ class SlamSystem:
                 SlamStatistics(
                     inlier_ratio=inlier_ratio,
                     area_ratio=area_ratio,
-                    pose_distance=float(
-                        se3m.pose_distance(
-                            self.store.pose(self.curr_kf), frame_pose, 1.0, 1.0
-                        )
-                    ),
-                    tracker_error=float(res.error),
+                    pose_distance=float(host["pose_dist"]),
+                    tracker_error=float(host["err"]),
                     num_keyframes=self.store.num_active,
                 )
             )
@@ -317,7 +347,7 @@ class SlamSystem:
             inlier_ratio=inlier_ratio,
             average_motion=avg_motion,
             desc_inlier_ratio=desc_ratio,
-            tracker_error=float(res.error),
+            tracker_error=float(host["err"]),
             tracking_lost=lost,
         )
 
@@ -346,16 +376,18 @@ class SlamSystem:
             range(self.store.num_active - 1, -1, -1)
         )[: kcfg.temporal_max_back_connections + 2]
         back: List[int] = [self.curr_kf] if self.curr_kf in candidates else []
-        for cid in candidates:
+        # dispatch every candidate's match check, then fetch ALL ratios in
+        # one device->host transfer (per-candidate float() syncs serialize
+        # on the device round-trip latency)
+        pending = [c for c in candidates if c not in back]
+        ratios = jax.device_get(
+            [self._match_geo(c, fr).relative_desc_inlier_ratio
+             for c in pending]
+        )
+        for cid, ratio in zip(pending, ratios):
             if len(back) >= kcfg.temporal_max_back_connections:
                 break
-            if cid in back:
-                continue
-            mg = self._match_geo(cid, fr)
-            if (
-                float(mg.relative_desc_inlier_ratio)
-                >= kcfg.temporal_min_desc_inlier_ratio
-            ):
+            if float(ratio) >= kcfg.temporal_min_desc_inlier_ratio:
                 back.append(cid)
         if not back:
             back = [self.curr_kf]
@@ -380,31 +412,39 @@ class SlamSystem:
         if not conns:
             return LoopInfo()
         kf_pose = self.store.pose(kf_id)
-        dists = {
-            c: float(
-                se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
-            )
-            for c in conns
-        }
-        min_dist = min(dists.values())
+        recent = [
+            cid
+            for cid in self._visited[-lcfg.local_active_window :]
+            if abs(cid - kf_id)
+            > self.cfg.keyframe.temporal_max_back_connections
+            and not self.store.link_exists(kf_id, cid)
+        ]
+        # one batched transfer for all pose distances (per-float syncs
+        # serialize on the device round-trip latency)
+        dvals = jax.device_get(
+            [se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
+             for c in conns]
+            + [se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
+               for c in recent]
+        )
+        min_dist = min(float(d) for d in dvals[: len(conns)])
         ref_dist = lcfg.local_dist_ratio * min_dist
 
+        gated = [
+            cid
+            for cid, d in zip(recent, dvals[len(conns):])
+            if float(d) < ref_dist
+        ]
+        if not gated:
+            return LoopInfo()
+        fr_like = self._store_frame_view(kf_id)
+        ratios = jax.device_get(
+            [self._match_geo(c, fr_like).desc_inlier_ratio for c in gated]
+        )
         best = LoopInfo()
         best_ratio = 0.0
-        recent = self._visited[-lcfg.local_active_window :]
-        for cid in recent:
-            if abs(cid - kf_id) <= self.cfg.keyframe.temporal_max_back_connections:
-                continue
-            if self.store.link_exists(kf_id, cid):
-                continue
-            d = float(
-                se3m.pose_distance(kf_pose, self.store.pose(cid), 1.0, 1.0)
-            )
-            if d >= ref_dist:
-                continue
-            fr_like = self._store_frame_view(kf_id)
-            mg = self._match_geo(cid, fr_like)
-            ratio = float(mg.desc_inlier_ratio)
+        for cid, ratio in zip(gated, ratios):
+            ratio = float(ratio)
             if ratio < lcfg.min_desc_inlier_ratio:
                 continue
             if ratio > best_ratio:
@@ -424,7 +464,7 @@ class SlamSystem:
             src_feats=self.store.row("src_feats", kf_id),
             loc1d=self.store.row("loc1d", kf_id),
             homo=self.store.row("homo", kf_id),
-            avg_sq_bias=float(self.store.row("avg_sq_bias", kf_id)),
+            avg_sq_bias=self.store.row("avg_sq_bias", kf_id),
             pose=self.store.pose(kf_id),
             code=_get_row(self.store.variables.code, kf_id),
             scale=float(_get_row(self.store.variables.scale, kf_id)),

@@ -42,7 +42,14 @@ from .keyframe_store import FrameData, KeyframeStore, get_row
 
 
 def _round_up(n: int, m: int) -> int:
-    return max(m, -(-n // m) * m)
+    """Round n up to a GEOMETRIC bucket (m, 2m, 4m, ...): padded-shape
+    growth causes only O(log E) recompilations of the BA step as the
+    factor graph grows, instead of one every m edges (each jit compile
+    costs seconds; with linear buckets most mapping steps recompiled)."""
+    cap = m
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 class Mapper:
@@ -153,7 +160,7 @@ class Mapper:
             src_feats=src_feats,
             loc1d=loc1d,
             homo=homo,
-            avg_sq_bias=float(avg_sq),
+            avg_sq_bias=avg_sq,  # device scalar; no sync
             pose=pose if pose is not None else SE3.identity(),
             code=jnp.zeros(self.cfg.code_size),
             scale=1.0,
