@@ -211,6 +211,234 @@ def bilinear_quad(
     )
 
 
+def quad_nearest_select(
+    rowv: jax.Array,  # [N, 4*cw] gathered quad rows
+    x: jax.Array,
+    y: jax.Array,
+    width: int,
+    height: int,
+    col: int,
+    cw: int,
+) -> jax.Array:
+    """Nearest-neighbor value from already-gathered quad rows -> [N].
+
+    Reproduces :func:`nearest_flat` for a value stored per corner at
+    column ``col`` (corner stride ``cw``): the rounded pixel is always one
+    of the 4 bilinear corners, so folding the value into the quad table
+    removes a whole per-point gather (used for the validity mask,
+    photometric_factor_kernels.cpp:159-166).
+
+    Rounding: half-up (frac >= 0.5), matching the reference CUDA
+    ``round()`` (half-away-from-zero for the positive pixel coords);
+    ``nearest_flat`` uses jnp.round (half-to-even) — they differ only at
+    exact .5 fractions, a measure-zero set for warped coordinates.
+    """
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    ex = (x - x0f) >= 0.5
+    ey = (y - y0f) >= 0.5
+    xr = x0f.astype(jnp.int32) + ex.astype(jnp.int32)
+    yr = y0f.astype(jnp.int32) + ey.astype(jnp.int32)
+    inb = (xr >= 0) & (xr < width) & (yr >= 0) & (yr < height)
+    m00 = rowv[:, 0 * cw + col]
+    m10 = rowv[:, 1 * cw + col]
+    m01 = rowv[:, 2 * cw + col]
+    m11 = rowv[:, 3 * cw + col]
+    mx0 = jnp.where(ey, m01, m00)
+    mx1 = jnp.where(ey, m11, m10)
+    val = jnp.where(ex, mx1, mx0)
+    return val * inb.astype(rowv.dtype)
+
+
+def quad_gather_rows(
+    packed: jax.Array,  # [total_q, 4*cw] from pack_quads_level
+    x: jax.Array,
+    y: jax.Array,
+    width: int,
+    height: int,
+    offset=0,
+):
+    """One quad-row gather -> (rowv [N, 4*cw], (w00, w10, w01, w11)).
+
+    The weights carry the per-corner WITHIN_BOUNDS zero padding
+    (photometric_factor_kernels.cpp:106-139); combining
+    ``sum_j rowv[:, j*cw : j*cw+c] * w_j`` equals :func:`bilinear_quad`.
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx0 = x0 + 1.0 - x
+    wy0 = y0 + 1.0 - y
+    wx1 = 1.0 - wx0
+    wy1 = 1.0 - wy0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    dt = packed.dtype
+    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
+    bx1 = ((xi0 + 1 >= 0) & (xi0 + 1 < width)).astype(dt)
+    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
+    by1 = ((yi0 + 1 >= 0) & (yi0 + 1 < height)).astype(dt)
+    xc = jnp.clip(xi0, -1, width - 1)
+    yc = jnp.clip(yi0, -1, height - 1)
+    q = offset + (width + 1) + yc * width + xc
+    rowv = jnp.take(packed, q, axis=0)  # [N, 4*cw]
+    w00 = (wx0 * wy0 * bx0 * by0)[:, None]
+    w10 = (wx1 * wy0 * bx1 * by0)[:, None]
+    w01 = (wx0 * wy1 * bx0 * by1)[:, None]
+    w11 = (wx1 * wy1 * bx1 * by1)[:, None]
+    return rowv, (w00, w10, w01, w11)
+
+
+def combine_quad(rowv: jax.Array, weights, c: int, cw: int | None = None):
+    """Weighted corner combine of gathered quad rows -> [N, c].
+
+    ``cw`` is the per-corner stride (defaults to ``c``); extra columns
+    beyond ``c`` (e.g. a folded mask) are excluded from the bilinear."""
+    if cw is None:
+        cw = c
+    w00, w10, w01, w11 = weights
+    return (
+        rowv[:, 0 * cw : 0 * cw + c] * w00
+        + rowv[:, 1 * cw : 1 * cw + c] * w10
+        + rowv[:, 2 * cw : 2 * cw + c] * w01
+        + rowv[:, 3 * cw : 3 * cw + c] * w11
+    )
+
+
+def dense_bilinear(
+    rows: jax.Array,  # [H*W, C] one level image, row-major
+    x: jax.Array,  # [N] level coords
+    y: jax.Array,  # [N]
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Gather-free bilinear sampling of a SMALL level image -> [N, C].
+
+    The bilinear weight of pixel p for point n is the separable hat
+    ``relu(1-|x_n-px_p|) * relu(1-|y_n-py_p|)`` — exactly the 4-corner
+    weights of :func:`bilinear_flat` with per-corner zero padding (out-of-
+    image corners simply have no column). Contracting the hat weights
+    against the image rows on the MXU (precision=HIGHEST for f32-exact
+    accumulation) replaces a per-point gather; profitable when H*W is a
+    few hundred pixels (pyramid levels 2-3), where the ~20 ns/row TPU
+    gather cost dwarfs the dense FLOPs."""
+    c = rows.shape[-1]
+    dt = rows.dtype
+    py = jnp.arange(height, dtype=dt)
+    px = jnp.arange(width, dtype=dt)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - py))  # [N, H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - px))  # [N, W]
+    a = jax.lax.dot_general(
+        wy,
+        rows.reshape(height, width * c),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, width, c)
+    return jnp.einsum(
+        "nw,nwc->nc", wx, a, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def quad_gather_cols(
+    packedT: jax.Array,  # [4*cw, total_q] TRANSPOSED quad table
+    x: jax.Array,
+    y: jax.Array,
+    width: int,
+    height: int,
+    offset=0,
+):
+    """Channel-major :func:`quad_gather_rows`: one column gather ->
+    (rowv [4*cw, N], (w00, w10, w01, w11) each [N]).
+
+    Channel-major layouts keep N on the TPU lane axis (full 128-lane
+    vectors, sublane-axis channel reductions) — the layout used by the
+    whole channel-major factor evaluation path."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx0 = x0 + 1.0 - x
+    wy0 = y0 + 1.0 - y
+    wx1 = 1.0 - wx0
+    wy1 = 1.0 - wy0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    dt = packedT.dtype
+    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
+    bx1 = ((xi0 + 1 >= 0) & (xi0 + 1 < width)).astype(dt)
+    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
+    by1 = ((yi0 + 1 >= 0) & (yi0 + 1 < height)).astype(dt)
+    xc = jnp.clip(xi0, -1, width - 1)
+    yc = jnp.clip(yi0, -1, height - 1)
+    q = offset + (width + 1) + yc * width + xc
+    rowv = jnp.take(packedT, q, axis=1)  # [4*cw, N]
+    w00 = wx0 * wy0 * bx0 * by0
+    w10 = wx1 * wy0 * bx1 * by0
+    w01 = wx0 * wy1 * bx0 * by1
+    w11 = wx1 * wy1 * bx1 * by1
+    return rowv, (w00, w10, w01, w11)
+
+
+def combine_quad_cm(rowv: jax.Array, weights, c: int, cw: int | None = None):
+    """Channel-major weighted corner combine -> [c, N]."""
+    if cw is None:
+        cw = c
+    w00, w10, w01, w11 = weights
+    return (
+        rowv[0 * cw : 0 * cw + c] * w00[None]
+        + rowv[1 * cw : 1 * cw + c] * w10[None]
+        + rowv[2 * cw : 2 * cw + c] * w01[None]
+        + rowv[3 * cw : 3 * cw + c] * w11[None]
+    )
+
+
+def quad_nearest_select_cm(
+    rowv: jax.Array,  # [4*cw, N]
+    x: jax.Array,
+    y: jax.Array,
+    width: int,
+    height: int,
+    col: int,
+    cw: int,
+) -> jax.Array:
+    """Channel-major :func:`quad_nearest_select` -> [N]."""
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    ex = (x - x0f) >= 0.5
+    ey = (y - y0f) >= 0.5
+    xr = x0f.astype(jnp.int32) + ex.astype(jnp.int32)
+    yr = y0f.astype(jnp.int32) + ey.astype(jnp.int32)
+    inb = (xr >= 0) & (xr < width) & (yr >= 0) & (yr < height)
+    m00 = rowv[0 * cw + col]
+    m10 = rowv[1 * cw + col]
+    m01 = rowv[2 * cw + col]
+    m11 = rowv[3 * cw + col]
+    mx0 = jnp.where(ey, m01, m00)
+    mx1 = jnp.where(ey, m11, m10)
+    val = jnp.where(ex, mx1, mx0)
+    return val * inb.astype(rowv.dtype)
+
+
+def dense_bilinear_cm(
+    rows_cm: jax.Array,  # [C, H*W] one level image, channel-major
+    x: jax.Array,  # [N] level coords
+    y: jax.Array,
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Channel-major :func:`dense_bilinear` -> [C, N]."""
+    c = rows_cm.shape[0]
+    dt = rows_cm.dtype
+    px = jnp.arange(width, dtype=dt)
+    py = jnp.arange(height, dtype=dt)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - px))  # [N, W]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - py))  # [N, H]
+    b = jax.lax.dot_general(
+        rows_cm.reshape(c * height, width),
+        wx,
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(c, height, -1)  # [C, H, N]
+    return jnp.sum(b * jnp.swapaxes(wy, 0, 1)[None], axis=1)  # [C, N]
+
+
 def nearest_flat(
     img_flat: jax.Array,  # [C, total] or [total]
     x: jax.Array,

@@ -58,6 +58,10 @@ class GeoKf0(NamedTuple):
     loc1d: jax.Array  # [N] int32
     homo0: jax.Array  # [N, 3]
     base_hw: jax.Array  # scalar int32 kf0_index * HW
+    # precomputed source decode at loc1d (static per keyframe, see
+    # ops/photometric.PhotoKf0); gathered lazily when None
+    bias_at: jax.Array | None = None  # [N]
+    jac_at: jax.Array | None = None  # [N, CS]
 
 
 class GeoKf1(NamedTuple):
@@ -70,10 +74,14 @@ def build_frame1_tables(
     codes: jax.Array,  # [K, CS]
     scales: jax.Array,  # [K]
     cam: PinholeCamera,
+    mask_flat: jax.Array | None = None,  # [HW] full-res validity mask
 ):
     """Quad-packed per-keyframe frame-1 tables for the CURRENT variables:
-    (packed_full [K*R, 4*(3+CS)] holding [scaled depth | scaled grad (2) |
-    raw code jacobian], packed_dpt [K*R, 4] scaled depth only)."""
+    (packed_full [K*R, 4*(3+CS[+1])] holding [scaled depth | scaled grad
+    (2) | raw code jacobian [| mask]], packed_dpt [K*R, 4*(1[+1])] scaled
+    depth [+ mask]). With mask_flat given, each corner carries the
+    validity mask as its last column so the nearest mask lookup rides the
+    quad gather (interp.quad_nearest_select)."""
     from .pyramid import spatial_grad
 
     k, hw = bias.shape
@@ -85,12 +93,18 @@ def build_frame1_tables(
         scales[None, :, None] * grad.reshape(2, k, hw)
     ).transpose(1, 2, 0)  # [K, HW, 2]
     rows = jnp.concatenate([dpt[..., None], grad_rows, jac], axis=-1)
+    dpt_rows = dpt[..., None]
+    if mask_flat is not None:
+        mask_col = jnp.broadcast_to(mask_flat[None, :, None], (k, hw, 1))
+        rows = jnp.concatenate([rows, mask_col], axis=-1)
+        dpt_rows = jnp.concatenate([dpt_rows, mask_col], axis=-1)
+    # TRANSPOSED (channel-major) for interp.quad_gather_cols
     packed_full = interp.pack_quads_level(rows, w).reshape(
         k * (hw + w + 1), -1
-    )
-    packed_dpt = interp.pack_quads_level(dpt[..., None], w).reshape(
+    ).T
+    packed_dpt = interp.pack_quads_level(dpt_rows, w).reshape(
         k * (hw + w + 1), -1
-    )
+    ).T
     return packed_full, packed_dpt
 
 
@@ -100,9 +114,12 @@ def _quad_base(kf1: GeoKf1, hw: int, w: int):
 
 
 def _decode_depth0(shared: GeoShared, kf0: GeoKf0, code0, scale0):
-    loc = kf0.base_hw + kf0.loc1d
-    bias = jnp.take(shared.bias_flat, loc)
-    jac = jnp.take(shared.jac_flat, loc, axis=0)
+    if kf0.bias_at is not None:
+        bias, jac = kf0.bias_at, kf0.jac_at
+    else:
+        loc = kf0.base_hw + kf0.loc1d
+        bias = jnp.take(shared.bias_flat, loc)
+        jac = jnp.take(shared.jac_flat, loc, axis=0)
     return scale0 * (bias + jac @ code0), jac
 
 
@@ -136,25 +153,37 @@ def geometric_jac_error(
     loss_param,
     eps: float,
 ):
-    """Returns (AtA [D,D], Atb [D], error, n_inliers), D = 14+2CS."""
+    """Returns (AtA [D,D], Atb [D], error, n_inliers), D = 14+2CS.
+
+    Channel-major formulation (see ops/photometric.photometric_jac_error):
+    per-point quantities are [N]-lane vectors / [D, N] matrices, the
+    Jacobian Gram is two MXU matmuls."""
+    from .photometric import _warp_project_cm
+
     cs = shared.jac_flat.shape[-1]
-    dim = 14 + 2 * cs
     dtype = kf0.homo0.dtype
     h, w = cam.height, cam.width
     hw = h * w
+    hp = jax.lax.Precision.HIGHEST
 
-    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0, jac_code0_at = _decode_depth0(shared, kf0, code0, scale0)
-    warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
-    u1, v1 = residuals.project_full_res(
-        warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+    depth0, jac_cm0, homo_cm, rh, x1, pos, u1, v1 = _warp_project_cm(
+        p0, p1, code0, scale0, kf0, shared, cam, eps
     )
 
-    # ONE quad-packed gather for [depth | grad | code-jacobian rows]
+    # ONE quad-packed gather for [depth | grad | code-jacobian | mask]
     if shared.packed_full is not None:
-        v = interp.bilinear_quad(
+        cw = shared.packed_full.shape[0] // 4
+        has_mask = cw == 3 + cs + 1
+        rowv, wts = interp.quad_gather_cols(
             shared.packed_full, u1, v1, w, h, _quad_base(kf1, hw, w)
         )
+        v = interp.combine_quad_cm(rowv, wts, 3 + cs, cw)  # [3+CS, N]
+        if has_mask:
+            within = interp.quad_nearest_select_cm(
+                rowv, u1, v1, w, h, 3 + cs, cw
+            )
+        else:
+            within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
     else:
         dpt_map_1, dpt_grad_1, jac1_full = _decode_frame1(
             shared, kf1, code1, scale1, hw, h, w
@@ -164,58 +193,74 @@ def geometric_jac_error(
         )  # [HW, 3+CS]
         v = interp.bilinear_quad(
             interp.pack_quads_level(rows1, w), u1, v1, w, h
-        )
-    d1 = v[:, 0]  # [N]
-    g1 = v[:, 1:3].T  # [2, N]
-    jac1 = v[:, 3:]  # [N, CS] raw
-    within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
-    pos = warped.pos_depth.astype(dtype)
+        ).T
+        within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
+    d1 = v[0]  # [N]
+    g1x, g1y = v[1], v[2]  # [N] each
+    jac1_cm = v[3:]  # [CS, N] raw
 
-    z1 = warped.points_in_1[..., 2]
+    z1 = x1[2]
     raw = d1 - z1
     err_pt = pos * jnp.log1p((within * raw) ** 2 / loss_param)
     sqrt_w = pos * within * jax.lax.rsqrt(raw**2 + loss_param)
 
-    # geometry jacobians
-    jp = residuals.proj_jac_point(warped.points_in_1, cam.fx, cam.fy)
-    xw = residuals.points_world(kf0.homo0, depth0, p0)
-    jac_x_p0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
-    j2d_p0 = jnp.einsum("nij,njk->nik", jp, jac_x_p0)  # [N, 2, 6]
-    grad_dot_j2d_p0 = jnp.einsum("dn,ndk->nk", g1, j2d_p0)  # [N, 6]
-    # d(z1 - d1)/d pose0: loc_jac row2 - grad.proj_jac (kernel :674-681)
-    jpose0 = jac_x_p0[:, 2, :] - grad_dot_j2d_p0  # [N, 6]
-    jpose1 = -jpose0
+    # geometry jacobian rows [D, N] from [N]-lane scalars (kernel
+    # :674-698); K-row algebra shared with the photometric factor
+    inv_z = 1.0 / z1
+    xz = x1[0] * inv_z
+    yz = x1[1] * inv_z
+    fxz = cam.fx * inv_z
+    fyz = cam.fy * inv_z
+    xw = depth0[None] * jnp.matmul(p0.rot, homo_cm, precision=hp) + (
+        p0.trans[:, None]
+    )  # [3, N]
+    a = jnp.swapaxes(p1.rot, -1, -2)  # R1^T
+    zr = jnp.zeros_like(xw[0])
+    nh = (
+        jnp.stack([zr, -xw[2], xw[1]]),  # -hat(Xw) columns
+        jnp.stack([xw[2], zr, -xw[0]]),
+        jnp.stack([-xw[1], xw[0], zr]),
+    )
+    # d(z1 - d1)/d pose0 col k = jac[2,k] - (g1x kx[k] + g1y ky[k])
+    jp0 = []
+    for kk in range(3):
+        kx_k = fxz * (a[0, kk] - xz * a[2, kk])
+        ky_k = fyz * (a[1, kk] - yz * a[2, kk])
+        jp0.append(a[2, kk] - (g1x * kx_k + g1y * ky_k))
+    for m in range(3):
+        jr = jnp.matmul(a, nh[m], precision=hp)  # [3, N]
+        kx_k = fxz * (jr[0] - xz * jr[2])
+        ky_k = fyz * (jr[1] - yz * jr[2])
+        jp0.append(jr[2] - (g1x * kx_k + g1y * ky_k))
+    jpose0 = jnp.stack(jp0)  # [6, N]
 
-    j2d_dpt = residuals.proj_jac_depth(
-        warped.rotated_homo, warped.points_in_1, cam.fx, cam.fy
-    )  # [N, 2]
-    d1_jac_dpt0 = jnp.einsum("dn,nd->n", g1, j2d_dpt)  # [N]
-    rh_z = warped.rotated_homo[..., 2]
-    # (rh_z - d(d1)/d(dpt0)) * scale0 * dJcode0 (kernel :686, :697)
-    jcode0 = ((rh_z - d1_jac_dpt0) * scale0)[:, None] * jac_code0_at
-    jcode1 = -scale1 * jac1  # [N, CS] (kernel :698)
-    jscale0 = (rh_z - d1_jac_dpt0) * depth0 / scale0  # (kernel :688)
-    jscale1 = -d1 / scale1  # (kernel :689)
-
+    dx = cam.fx * (rh[0] * inv_z - x1[0] * rh[2] * inv_z * inv_z)
+    dy = cam.fy * (rh[1] * inv_z - x1[1] * rh[2] * inv_z * inv_z)
+    d1_jac_dpt0 = g1x * dx + g1y * dy  # [N]
+    rh_z = rh[2]
     rows = jnp.concatenate(
         [
             jpose0,
-            jpose1,
-            jcode0,
-            jcode1,
-            jscale0[:, None],
-            jscale1[:, None],
+            -jpose0,
+            ((rh_z - d1_jac_dpt0) * scale0)[None] * jac_cm0,  # code0
+            -scale1 * jac1_cm,  # code1 (kernel :698)
+            ((rh_z - d1_jac_dpt0) * depth0 / scale0)[None],  # scale0
+            (-d1 / scale1)[None],  # scale1 (kernel :689)
         ],
-        axis=-1,
-    )  # [N, D]
-    rows = rows * sqrt_w[:, None]
+        axis=0,
+    )  # [D, N]
+    rows = rows * sqrt_w[None]
     diff = sqrt_w * raw
 
     n_inl = jnp.sum(pos * within)
     has = n_inl > 0
     inv = jnp.where(has, factor_weight / jnp.maximum(n_inl, 1.0), 0.0)
-    ata = inv * (rows.T @ rows)
-    atb = inv * (rows.T @ diff)
+    ata = inv * jax.lax.dot_general(
+        rows, rows, (((1,), (1,)), ((), ())), precision=hp
+    )
+    atb = inv * jax.lax.dot_general(
+        rows, diff, (((1,), (0,)), ((), ())), precision=hp
+    )
     error = jnp.where(has, inv * jnp.sum(err_pt), factor_weight * 10.0)
     return ata, atb, error, n_inl
 
@@ -236,18 +281,23 @@ def geometric_error(
     eps: float,
 ):
     """Error-only path (geometric_error_calculate, kernel :126-217)."""
+    from .photometric import _warp_project_cm
+
     h, w = cam.height, cam.width
     hw = h * w
-    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0, _ = _decode_depth0(shared, kf0, code0, scale0)
-    warped = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
-    u1, v1 = residuals.project_full_res(
-        warped.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+    depth0, _, _, _, x1, pos_, u1, v1 = _warp_project_cm(
+        p0, p1, code0, scale0, kf0, shared, cam, eps
     )
     if shared.packed_dpt is not None:
-        d1 = interp.bilinear_quad(
+        cw = shared.packed_dpt.shape[0] // 4
+        rowv, wts = interp.quad_gather_cols(
             shared.packed_dpt, u1, v1, w, h, _quad_base(kf1, hw, w)
-        )[:, 0]
+        )
+        d1 = interp.combine_quad_cm(rowv, wts, 1, cw)[0]
+        if cw == 2:
+            within = interp.quad_nearest_select_cm(rowv, u1, v1, w, h, 1, cw)
+        else:
+            within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
     else:
         bias1 = jax.lax.dynamic_slice(
             shared.bias_flat, (kf1.base_hw,), (hw,)
@@ -259,9 +309,9 @@ def geometric_error(
         d1 = interp.bilinear_quad(
             interp.pack_quads_level(dpt_map_1[:, None], w), u1, v1, w, h
         )[:, 0]
-    within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
-    pos = warped.pos_depth.astype(d1.dtype)
-    raw = d1 - warped.points_in_1[..., 2]
+        within = interp.nearest_flat(shared.mask_flat, u1, v1, w, h)
+    pos = pos_.astype(d1.dtype)
+    raw = d1 - x1[2]
     err_pt = pos * jnp.log1p((within * raw) ** 2 / loss_param)
     n_inl = jnp.sum(pos * within)
     has = n_inl > 0

@@ -50,17 +50,43 @@ class PhotoShared(NamedTuple):
     segment): with them a 4-corner bilinear of features+gradients costs ONE
     dynamic gather per point per level — the gather passes are ~90% of
     linearize time on TPU. Built lazily when absent; precompute via
-    :func:`build_packed_tables` to hoist the packing out of an LM
-    while_loop. Layout: [K * Tq, 4*3C] with Tq = cam_pyr.total_quad_rows;
-    frame k's level l segment starts at k*Tq + quad_level_offsets[l]."""
+    :func:`build_photo_tables` to hoist the packing out of an LM
+    while_loop. Layout: [K * Tq, 4*cw] with Tq = cam_pyr.total_quad_rows;
+    frame k's level l segment starts at k*Tq + quad_level_offsets[l].
+    When built by build_photo_tables, each corner additionally carries the
+    full-res validity mask as its last column (cw = 3C+1 / C+1, level-0
+    segment only) so the mask nearest-lookup rides the level-0 gather
+    (interp.quad_nearest_select) instead of costing its own gather.
+
+    dense_fg / dense_feat hold the COARSEST pyramid levels as per-frame
+    row tables ([K, M_l, 3C] / [K, M_l, C], suffix of levels with
+    M_l <= DENSE_MAX_PIXELS): those levels are sampled gather-free by MXU
+    hat-weight contraction (interp.dense_bilinear)."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     feat_pyr: jax.Array
     grad_pyr: jax.Array
     mask_flat: jax.Array
-    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C]
-    packed_feat: jax.Array | None = None  # [K*Tq, 4*C]
+    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C(+1)]
+    packed_feat: jax.Array | None = None  # [K*Tq, 4*C(+1)]
+    dense_fg: tuple = ()  # per dense level: [K, M_l, 3C]
+    dense_feat: tuple = ()  # per dense level: [K, M_l, C]
+
+
+# pyramid levels at or below this pixel count are sampled by dense
+# hat-weight matmuls instead of gathers (see interp.dense_bilinear)
+DENSE_MAX_PIXELS = 512
+
+
+def dense_levels(cam_pyr: CameraPyramid):
+    """Suffix of pyramid levels sampled densely (never level 0, which
+    carries the folded mask column)."""
+    return [
+        lvl
+        for lvl in range(1, cam_pyr.levels)
+        if cam_pyr[lvl].num_pixels <= DENSE_MAX_PIXELS
+    ]
 
 
 def _pack_pyramid_quads(rows: jax.Array, cam_pyr: CameraPyramid):
@@ -91,20 +117,54 @@ def build_packed_tables(
     return packed_fg, packed_feat
 
 
-def _packed_fg(shared: PhotoShared, cam_pyr: CameraPyramid) -> jax.Array:
-    if shared.packed_fg is not None:
-        return shared.packed_fg
-    return build_packed_tables(shared.feat_pyr, shared.grad_pyr, cam_pyr)[0]
-
-
-def _packed_feat(shared: PhotoShared, cam_pyr: CameraPyramid) -> jax.Array:
-    if shared.packed_feat is not None:
-        return shared.packed_feat
-    c = shared.feat_pyr.shape[0]
+def build_photo_tables(
+    feat_pyr: jax.Array,  # [C, K*T]
+    grad_pyr: jax.Array,  # [2, C, K*T]
+    mask_flat: jax.Array,  # [HW] full-res validity mask
+    cam_pyr: CameraPyramid,
+):
+    """All precomputed target-sampling tables for the photometric factor:
+    (packed_fg [4*(3C+1), K*Tq], packed_feat [4*(C+1), K*Tq],
+     dense_fg, dense_feat) — TRANSPOSED (channel-major) quad tables with
+    the folded mask column, and channel-major dense row tables
+    [K, 3C, M_l] / [K, C, M_l] for the coarse levels (see PhotoShared)."""
+    c, m = feat_pyr.shape
     t = cam_pyr.total_pixels
-    k = shared.feat_pyr.shape[-1] // t
-    return _pack_pyramid_quads(
-        shared.feat_pyr.T.reshape(k, t, c), cam_pyr
+    k = m // t
+    featT = feat_pyr.T.reshape(k, t, c)
+    gradT = grad_pyr.reshape(2 * c, m).T.reshape(k, t, 2 * c)  # d-major
+    rows_fg = jnp.concatenate([featT, gradT], axis=-1)  # [K, T, 3C]
+    # mask column: full-res mask on the level-0 segment, zero elsewhere
+    hw = cam_pyr[0].num_pixels
+    mask_col = jnp.zeros((k, t, 1), feat_pyr.dtype)
+    mask_col = mask_col.at[:, :hw, 0].set(mask_flat[None, :])
+    packed_fg = _pack_pyramid_quads(
+        jnp.concatenate([rows_fg, mask_col], axis=-1), cam_pyr
+    ).T
+    packed_feat = _pack_pyramid_quads(
+        jnp.concatenate([featT, mask_col], axis=-1), cam_pyr
+    ).T
+    dense_fg, dense_feat = [], []
+    for lvl in dense_levels(cam_pyr):
+        off = cam_pyr.level_offsets[lvl]
+        npx = cam_pyr[lvl].num_pixels
+        dense_fg.append(jnp.swapaxes(rows_fg[:, off : off + npx], 1, 2))
+        dense_feat.append(jnp.swapaxes(featT[:, off : off + npx], 1, 2))
+    return packed_fg, packed_feat, tuple(dense_fg), tuple(dense_feat)
+
+
+def _tables(shared: PhotoShared, cam_pyr: CameraPyramid):
+    """(packed_fg, packed_feat, dense_fg, dense_feat), built lazily when
+    the shared table fields are unset (tests / standalone use)."""
+    if shared.packed_fg is not None:
+        return (
+            shared.packed_fg,
+            shared.packed_feat,
+            shared.dense_fg,
+            shared.dense_feat,
+        )
+    return build_photo_tables(
+        shared.feat_pyr, shared.grad_pyr, shared.mask_flat, cam_pyr
     )
 
 
@@ -113,13 +173,22 @@ class PhotoKf0(NamedTuple):
 
     src_feats caches the keyframe's own features sampled at its points
     per level (variable-independent; the reference re-samples them every
-    kernel launch, photometric_factor_kernels.cpp:118-139)."""
+    kernel launch, photometric_factor_kernels.cpp:118-139).
+
+    bias_at / jac_at are the depth bias and code Jacobian gathered at the
+    sampled pixels. The gather indices (base_hw + loc1d) are static per
+    keyframe, so these are precomputed once per BA problem
+    (solver.ba.prepare_problem) instead of re-gathered every linearization
+    — per-point gathers are the measured TPU bottleneck (~20 ns/row).
+    When None they are gathered lazily (identical values)."""
 
     loc1d: jax.Array  # [N] int32 pixel ids (within one frame)
     homo0: jax.Array  # [N, 3]
     src_feats: jax.Array  # [L, N, C]
     base_hw: jax.Array  # scalar int32: kf0_index * HW
     base_pyr: jax.Array  # scalar int32: kf0_index * T (unused here)
+    bias_at: jax.Array | None = None  # [N]
+    jac_at: jax.Array | None = None  # [N, CS]
 
 
 class PhotoFr1(NamedTuple):
@@ -137,17 +206,22 @@ def single_frame_shared(
     built lazily inside the factor evaluation."""
     if cam_pyr is None:
         return PhotoShared(bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat)
-    packed_fg, packed_feat = build_packed_tables(feat_pyr, grad_pyr, cam_pyr)
+    packed_fg, packed_feat, dense_fg, dense_feat = build_photo_tables(
+        feat_pyr, grad_pyr, mask_flat, cam_pyr
+    )
     return PhotoShared(
         bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat,
-        packed_fg, packed_feat,
+        packed_fg, packed_feat, dense_fg, dense_feat,
     )
 
 
 def _decode_depth_at(shared: PhotoShared, kf0: PhotoKf0, code0, scale0):
-    loc = kf0.base_hw + kf0.loc1d
-    bias = jnp.take(shared.bias_flat, loc)
-    jac = jnp.take(shared.jac_flat, loc, axis=0)
+    if kf0.bias_at is not None:
+        bias, jac = kf0.bias_at, kf0.jac_at
+    else:
+        loc = kf0.base_hw + kf0.loc1d
+        bias = jnp.take(shared.bias_flat, loc)
+        jac = jnp.take(shared.jac_flat, loc, axis=0)
     return scale0 * (bias + jac @ code0), jac
 
 
@@ -192,6 +266,64 @@ def _per_level_packed(
     )
 
 
+def _target_samples_cm(
+    shared: PhotoShared,
+    cam_pyr: CameraPyramid,
+    u1: jax.Array,
+    v1: jax.Array,
+    base_pyr: jax.Array,
+    packedT: jax.Array,
+    dense: tuple,
+    c_out: int,
+):
+    """Sample the target frame at the warped full-res coords for every
+    pyramid level, channel-major -> (list of [c_out, N] per level,
+    within [N]).
+
+    Level 0 comes from ONE quad-column gather that also yields the folded
+    full-res validity mask (photometric_factor_kernels.cpp:159-166 as a
+    corner select instead of its own gather); the coarsest levels use
+    gather-free MXU hat-matmuls (interp.dense_bilinear_cm); remaining
+    levels use one quad gather each. Tables without the mask column fall
+    back to a separate nearest mask gather."""
+    cam0 = cam_pyr[0]
+    cw = packedT.shape[0] // 4
+    has_mask = cw == c_out + 1
+    nd = len(dense)
+    dense_start = cam_pyr.levels - nd if nd else cam_pyr.levels
+    frame = base_pyr // cam_pyr.total_pixels
+    qbase = frame * cam_pyr.total_quad_rows
+    out = []
+    within = None
+    for lvl in range(cam_pyr.levels):
+        cam_l = cam_pyr[lvl]
+        ul, vl = interp.level_coords(
+            u1, v1, cam_l.fx / cam0.fx, cam_l.fy / cam0.fy
+        )
+        if lvl >= dense_start:
+            rows_cm = jnp.take(dense[lvl - dense_start], frame, axis=0)
+            out.append(
+                interp.dense_bilinear_cm(
+                    rows_cm, ul, vl, cam_l.width, cam_l.height
+                )
+            )
+            continue
+        off = qbase + cam_pyr.quad_level_offsets[lvl]
+        rowv, wts = interp.quad_gather_cols(
+            packedT, ul, vl, cam_l.width, cam_l.height, off
+        )
+        out.append(interp.combine_quad_cm(rowv, wts, c_out, cw))
+        if lvl == 0 and has_mask:
+            within = interp.quad_nearest_select_cm(
+                rowv, ul, vl, cam_l.width, cam_l.height, c_out, cw
+            )
+    if within is None:
+        within = interp.nearest_flat(
+            shared.mask_flat, u1, v1, cam0.width, cam0.height
+        )
+    return out, within
+
+
 def sample_source_features(feat_pyr, loc1d, cam_pyr: CameraPyramid):
     """Precompute PhotoKf0.src_feats from a SINGLE frame's pyramid
     [C, T]: the keyframe's own features at its photometric points for
@@ -204,6 +336,48 @@ def sample_source_features(feat_pyr, loc1d, cam_pyr: CameraPyramid):
         f = _per_level_samples(cam_pyr, lvl, x0, y0, feat_pyr, zero)
         out.append(f.T)
     return jnp.stack(out, axis=0)
+
+
+def _warp_project_cm(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    scale0: jax.Array,
+    kf0: PhotoKf0,
+    shared: PhotoShared,
+    cam0,
+    eps: float,
+):
+    """Channel-major per-point geometry shared by both photometric paths.
+
+    Every per-point quantity is an [N]-lane vector (or [C, N]) — the TPU
+    layout that keeps the VPU lanes full; [N, 2/3]-minor tensors are the
+    measured bottleneck of the row-major formulation.
+
+    Returns (depth0 [N], jac_cm [CS, N], rh [3, N], x1 [3, N], pos [N],
+    u1 [N], v1 [N])."""
+    hp = jax.lax.Precision.HIGHEST
+    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
+    homo_cm = kf0.homo0.T  # [3, N]
+    if kf0.bias_at is not None:
+        bias_at, jac_at = kf0.bias_at, kf0.jac_at
+    else:
+        loc = kf0.base_hw + kf0.loc1d
+        bias_at = jnp.take(shared.bias_flat, loc)
+        jac_at = jnp.take(shared.jac_flat, loc, axis=0)
+    jac_cm = jac_at.T  # [CS, N]
+    depth0 = scale0 * (
+        bias_at
+        + jax.lax.dot_general(
+            code0, jac_cm, (((0,), (0,)), ((), ())), precision=hp
+        )
+    )  # [N]
+    rh = jnp.matmul(rot10, homo_cm, precision=hp)  # [3, N]
+    x1 = depth0[None] * rh + t10[:, None]  # [3, N]
+    pos = (x1[2] > eps).astype(depth0.dtype)
+    u1 = x1[0] / x1[2] * cam0.fx + cam0.cx
+    v1 = x1[1] / x1[2] * cam0.fy + cam0.cy
+    return depth0, jac_cm, homo_cm, rh, x1, pos, u1, v1
 
 
 def photometric_error(
@@ -220,30 +394,24 @@ def photometric_error(
 ):
     """Error-only path (photometric_error_calculate :990-1059).
     Returns (error scalar, n_inliers scalar)."""
-    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0, _ = _decode_depth_at(shared, kf0, code0, scale0)
-    w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     cam0 = cam_pyr[0]
-    u1, v1 = residuals.project_full_res(
-        w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
+    depth0, _, _, _, _, pos, u1, v1 = _warp_project_cm(
+        p0, p1, code0, scale0, kf0, shared, cam0, eps
     )
-    within = interp.nearest_flat(
-        shared.mask_flat, u1, v1, cam0.width, cam0.height
+    c = shared.feat_pyr.shape[0]
+    _, packed_feat, _, dense_feat = _tables(shared, cam_pyr)
+    f1s, within = _target_samples_cm(
+        shared, cam_pyr, u1, v1, fr1.base_pyr, packed_feat, dense_feat, c
     )
-    pos = w.pos_depth.astype(within.dtype)
+    gate = pos * within
 
     err_total = jnp.zeros((), within.dtype)
-    n_inl = jnp.zeros((), within.dtype)
-    packed_feat = _packed_feat(shared, cam_pyr)
     for lvl in range(cam_pyr.levels):
-        f0 = kf0.src_feats[lvl]  # [N, C]
-        f1 = _per_level_packed(
-            cam_pyr, lvl, u1, v1, packed_feat, fr1.base_pyr
-        )  # [N, C]
-        err_pt = pos * within * jnp.sum((f0 - f1) ** 2, axis=-1)
+        f0 = kf0.src_feats[lvl].T  # [C, N]
+        f1 = f1s[lvl]  # [C, N]
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
-        if lvl == 0:
-            n_inl = jnp.sum(pos * within)
+    n_inl = jnp.sum(gate)
 
     w_sum = jnp.sum(jnp.asarray(weights))
     error = jnp.where(
@@ -265,94 +433,116 @@ def photometric_jac_error(
     eps: float,
 ):
     """Linearization path (photometric_jac_error_calculate :1061-1164).
-    Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers)."""
-    cs = shared.jac_flat.shape[-1]
-    dim = 13 + cs
+    Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers).
+
+    Channel-major formulation: every per-point quantity is an [N]-lane
+    vector or a [C, N] / [29, N] channel-major matrix, so the VPU lanes
+    stay full and channel sums are sublane reductions — the row-major
+    [N, 2, C] einsum pipeline was the measured TPU hot spot.
+
+    Algebra (same as the reference's L*N*C x 29 row matmul,
+    photometric_factor_kernels.cpp:1143-1152, at ~1/30 the FLOPs):
+    per-channel Jacobian rows factor as J_nc = g_nc^T K_n with K_n [2, 29]
+    geometry rows; the channel sum collapses into a per-point 2x2 gradient
+    Gram, and K_n at level l is diag(rx_l, ry_l) K_n at level 0 (u-rows
+    scale with fx, v-rows with fy), so the level sum collapses too:
+      AtA = Kx^T (gxx Kx + gxy Ky) + Ky^T (gxy Kx + gyy Ky)
+    with gxx/gxy/gyy the level-weight-scaled Gram entries — two
+    [29, N] x [N, 29] MXU matmuls per edge."""
     dtype = kf0.homo0.dtype
-
-    rot10, t10 = residuals.relative_pose_tensors(p0, p1)
-    depth0, dpt_jac_code_at = _decode_depth_at(shared, kf0, code0, scale0)
-    w = residuals.warp(kf0.homo0, depth0, rot10, t10, eps)
     cam0 = cam_pyr[0]
-    u1, v1 = residuals.project_full_res(
-        w.points_in_1, cam0.fx, cam0.fy, cam0.cx, cam0.cy
-    )
-    within = interp.nearest_flat(
-        shared.mask_flat, u1, v1, cam0.width, cam0.height
-    )
-    pos = w.pos_depth.astype(dtype)
-    gate = pos * within  # [N]
+    hp = jax.lax.Precision.HIGHEST
 
-    xw = residuals.points_world(kf0.homo0, depth0, p0)
-    jac_x_pose0 = residuals.point_jac_pose0(xw, p1.rot)  # [N, 3, 6]
-
-    err_total = jnp.zeros((), dtype)
-    n_inl = jnp.zeros((), dtype)
+    depth0, jac_cm, homo_cm, rh, x1, pos, u1, v1 = _warp_project_cm(
+        p0, p1, code0, scale0, kf0, shared, cam0, eps
+    )
 
     c = shared.feat_pyr.shape[0]
-    packed_fg = _packed_fg(shared, cam_pyr)
+    packed_fg, _, dense_fg, _ = _tables(shared, cam_pyr)
+    fgs, within = _target_samples_cm(
+        shared, cam_pyr, u1, v1, fr1.base_pyr, packed_fg, dense_fg, 3 * c
+    )
+    gate = pos * within  # [N]
+    gate2 = gate * gate  # = gate for binary masks; kept for soft masks
 
-    # Per-channel Jacobian rows factor as J_nc = g_nc^T K_n with K_n [2, 29]
-    # shared geometry rows, collapsing the channel sum into a per-point 2x2
-    # gradient Gram (same algebra as the reference's L*N*C x 29 row matmul,
-    # photometric_factor_kernels.cpp:1143-1152, at ~1/30 the FLOPs).
-    # Moreover K_n at level l is just diag(rx_l, ry_l) K_n at level 0 (every
-    # u-row term is proportional to fx, every v-row term to fy), so the
-    # LEVEL sum also collapses:
-    #   AtA = K0^T (sum_l w_l S_l Gram_l S_l) K0,  S_l = diag(rx_l, ry_l)
-    # leaving ONE (29 x 2N)(2N x 29) matmul per edge instead of 4 — the
-    # tiny-M batched einsum per level was the BA hot spot on TPU.
-    g_acc = jnp.zeros((kf0.homo0.shape[0], 2, 2), dtype)  # [N, 2, 2]
-    hv_acc = jnp.zeros((kf0.homo0.shape[0], 2), dtype)  # [N, 2]
-
-    cam0_f = cam_pyr[0]
+    gxx = gxy = gyy = hx = hy = jnp.zeros_like(gate)
+    err_total = jnp.zeros((), dtype)
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
-        f0 = kf0.src_feats[lvl]  # [N, C]
-        # ONE pair-packed gather covers features + grad pyramid at the
-        # warped locations (kernels :140-222) — 2 takes instead of 8
-        fg = _per_level_packed(
-            cam_pyr, lvl, u1, v1, packed_fg, fr1.base_pyr
-        )  # [N, 3C]
-        f1 = fg[:, :c]  # [N, C]
-        # packed grad columns are (d, c)-ordered -> [N, 2, C], no transpose
-        g1 = fg[:, c:].reshape(-1, 2, c) * gate[:, None, None]
-
-        diff = gate[:, None] * (f0 - f1)  # [N, C]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
-        if lvl == 0:
-            n_inl = jnp.sum(gate)
-
-        gram = jnp.einsum("ndc,nec->nde", g1, g1)  # [N, 2, 2]
-        h_vec = jnp.einsum("ndc,nc->nd", g1, diff)  # [N, 2]
-
+        fg = fgs[lvl]  # [3C, N]
+        f0 = kf0.src_feats[lvl].T  # [C, N]
+        f1 = fg[:c]
+        gx = fg[c : 2 * c]  # packed grad rows are (d, c)-ordered
+        gy = fg[2 * c :]
+        d = f0 - f1
         wl = jnp.asarray(weights[lvl], dtype)
-        s = jnp.asarray(
-            [cam_l.fx / cam0_f.fx, cam_l.fy / cam0_f.fy], dtype
-        )  # [2] level focal ratios
-        g_acc = g_acc + (wl * s[:, None] * s[None, :]) * gram
-        hv_acc = hv_acc + (wl * s) * h_vec
-        err_total = err_total + wl * jnp.sum(err_pt)
+        rx = cam_l.fx / cam0.fx
+        ry = cam_l.fy / cam0.fy
+        gxx = gxx + (wl * rx * rx) * jnp.sum(gx * gx, axis=0)
+        gxy = gxy + (wl * rx * ry) * jnp.sum(gx * gy, axis=0)
+        gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
+        hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
+        hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
+        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
+    n_inl = jnp.sum(gate)
+    gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
+    hx, hy = gate2 * hx, gate2 * hy
 
-    # geometry rows once, at full-res intrinsics
-    jp = residuals.proj_jac_point(w.points_in_1, cam0_f.fx, cam0_f.fy)
-    j2d_pose0 = jnp.einsum("nij,njk->nik", jp, jac_x_pose0)  # [N,2,6]
-    j2d_dpt = residuals.proj_jac_depth(
-        w.rotated_homo, w.points_in_1, cam0_f.fx, cam0_f.fy
-    )  # [N, 2]
-    j2d_code = (
-        j2d_dpt[..., None] * (scale0 * dpt_jac_code_at)[:, None, :]
-    )  # [N, 2, CS]
-    j2d_scale = j2d_dpt * (depth0 / scale0)[..., None]  # [N, 2]
-    k_rows = jnp.concatenate(
-        [j2d_pose0, -j2d_pose0, j2d_code, j2d_scale[..., None]],
-        axis=-1,
-    )  # [N, 2, 29]
+    # geometry K-rows [29, N] from [N]-lane scalars (kernels :241-335)
+    inv_z = 1.0 / x1[2]
+    xz = x1[0] * inv_z
+    yz = x1[1] * inv_z
+    fxz = cam0.fx * inv_z
+    fyz = cam0.fy * inv_z
+    # world points and jac = R1^T [I | -hat(Xw)] (point_jac_pose0 algebra)
+    xw = depth0[None] * jnp.matmul(p0.rot, homo_cm, precision=hp) + (
+        p0.trans[:, None]
+    )  # [3, N]
+    a = jnp.swapaxes(p1.rot, -1, -2)  # R1^T
+    zr = jnp.zeros_like(xw[0])
+    nh0 = jnp.stack([zr, -xw[2], xw[1]])  # -hat(Xw) column 0: [3, N]
+    nh1 = jnp.stack([xw[2], zr, -xw[0]])
+    nh2 = jnp.stack([-xw[1], xw[0], zr])
+    kxp = [fxz * (a[0, kk] - xz * a[2, kk]) for kk in range(3)]
+    kyp = [fyz * (a[1, kk] - yz * a[2, kk]) for kk in range(3)]
+    for nh in (nh0, nh1, nh2):
+        jr = jnp.matmul(a, nh, precision=hp)  # [3, N]
+        kxp.append(fxz * (jr[0] - xz * jr[2]))
+        kyp.append(fyz * (jr[1] - yz * jr[2]))
+    kx_pose = jnp.stack(kxp)  # [6, N]
+    ky_pose = jnp.stack(kyp)
+    # depth / code / scale columns (proj_jac_depth algebra)
+    dx = cam0.fx * (rh[0] * inv_z - x1[0] * rh[2] * inv_z * inv_z)
+    dy = cam0.fy * (rh[1] * inv_z - x1[1] * rh[2] * inv_z * inv_z)
+    kx = jnp.concatenate(
+        [
+            kx_pose,
+            -kx_pose,
+            (dx * scale0)[None] * jac_cm,
+            (dx * (depth0 / scale0))[None],
+        ],
+        axis=0,
+    )  # [29, N]
+    ky = jnp.concatenate(
+        [
+            ky_pose,
+            -ky_pose,
+            (dy * scale0)[None] * jac_cm,
+            (dy * (depth0 / scale0))[None],
+        ],
+        axis=0,
+    )
 
-    kg = jnp.einsum("nab,nbq->naq", g_acc, k_rows)  # [N, 2, 29] (VPU)
-    k_flat = k_rows.reshape(-1, dim)  # [2N, 29]
-    ata = k_flat.T @ kg.reshape(-1, dim)  # ONE MXU matmul
-    atb = k_flat.T @ hv_acc.reshape(-1)
+    kgx = gxx[None] * kx + gxy[None] * ky  # [29, N]
+    kgy = gxy[None] * kx + gyy[None] * ky
+    dn_mm = (((1,), (1,)), ((), ()))
+    ata = jax.lax.dot_general(
+        kx, kgx, dn_mm, precision=hp
+    ) + jax.lax.dot_general(ky, kgy, dn_mm, precision=hp)
+    dn_mv = (((1,), (0,)), ((), ()))
+    atb = jax.lax.dot_general(
+        kx, hx, dn_mv, precision=hp
+    ) + jax.lax.dot_general(ky, hy, dn_mv, precision=hp)
 
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     has_inl = n_inl > 0

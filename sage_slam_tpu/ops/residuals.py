@@ -30,9 +30,18 @@ class WarpResult(NamedTuple):
 
 
 def relative_pose_tensors(p0: SE3, p1: SE3):
-    """R10 = R1^T R0, t10 = R1^T (t0 - t1) (photometric_factor.cpp:280-281)."""
-    rot10 = jnp.swapaxes(p1.rot, -1, -2) @ p0.rot
-    t10 = jnp.einsum("...ji,...j->...i", p1.rot, p0.trans - p1.trans)
+    """R10 = R1^T R0, t10 = R1^T (t0 - t1) (photometric_factor.cpp:280-281).
+
+    Forced f32 precision: the TPU default (bf16 MXU passes) would lose
+    ~3 decimal digits on the rotation products that every residual and
+    Jacobian downstream depends on."""
+    hp = jax.lax.Precision.HIGHEST
+    rot10 = jnp.matmul(
+        jnp.swapaxes(p1.rot, -1, -2), p0.rot, precision=hp
+    )
+    t10 = jnp.einsum(
+        "...ji,...j->...i", p1.rot, p0.trans - p1.trans, precision=hp
+    )
     return rot10, t10
 
 

@@ -40,25 +40,49 @@ class WindowData(NamedTuple):
     src_feats: jax.Array  # [K, L, N, C] cached per-level source samples
     avg_sq_bias: jax.Array  # [K] masked mean of squared depth bias
     mask_flat: jax.Array  # [HW] shared video mask (full res)
-    # quad-packed gather tables (ops/photometric.build_packed_tables);
-    # filled by prepare_problem so packing is hoisted out of the LM loop
-    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C]
-    packed_feat: jax.Array | None = None  # [K*Tq, 4*C]
+    # gather tables (ops/photometric.build_photo_tables: masked quad
+    # tables + dense coarse-level tables); filled by prepare_problem so
+    # the packing is hoisted out of the LM loop
+    packed_fg: jax.Array | None = None  # [K*Tq, 4*(3C+1)]
+    packed_feat: jax.Array | None = None  # [K*Tq, 4*(C+1)]
+    # per-keyframe source decode at the sampled pixels (static per
+    # keyframe; prepare_problem hoists these gathers out of the LM loop)
+    bias_at: jax.Array | None = None  # [K, N]
+    jac_at: jax.Array | None = None  # [K, N, CS]
+    dense_fg: tuple = ()  # per dense level: [K, M_l, 3C]
+    dense_feat: tuple = ()  # per dense level: [K, M_l, C]
 
 
 def prepare_problem(
     problem: "BAProblem", cam_pyr: CameraPyramid
 ) -> "BAProblem":
-    """Precompute the window's quad-packed gather tables (idempotent)."""
+    """Precompute the window's quad-packed gather tables and the
+    source-pixel decode tables (idempotent)."""
     w = problem.window
     if w.packed_fg is not None:
         return problem
     c = w.feat_pyr.shape[0]
-    packed_fg, packed_feat = photometric.build_packed_tables(
-        w.feat_pyr.reshape(c, -1), w.grad_pyr.reshape(2, c, -1), cam_pyr
+    packed_fg, packed_feat, dense_fg, dense_feat = (
+        photometric.build_photo_tables(
+            w.feat_pyr.reshape(c, -1),
+            w.grad_pyr.reshape(2, c, -1),
+            w.mask_flat,
+            cam_pyr,
+        )
     )
+    bias_at = jax.vmap(jnp.take)(w.bias_flat, w.loc1d)  # [K, N]
+    jac_at = jax.vmap(lambda j, l: jnp.take(j, l, axis=0))(
+        w.jac_flat, w.loc1d
+    )  # [K, N, CS]
     return problem._replace(
-        window=w._replace(packed_fg=packed_fg, packed_feat=packed_feat)
+        window=w._replace(
+            packed_fg=packed_fg,
+            packed_feat=packed_feat,
+            bias_at=bias_at,
+            jac_at=jac_at,
+            dense_fg=dense_fg,
+            dense_feat=dense_feat,
+        )
     )
 
 
@@ -124,6 +148,8 @@ def _photo_inputs(window: WindowData, e: EdgeTable):
         src_feats=window.src_feats[e.i0],
         base_hw=e.i0 * hw,
         base_pyr=e.i0 * t,
+        bias_at=None if window.bias_at is None else window.bias_at[e.i0],
+        jac_at=None if window.jac_at is None else window.jac_at[e.i0],
     )
     fr1 = photometric.PhotoFr1(base_pyr=e.i1 * t)
     shared = photometric.PhotoShared(
@@ -134,6 +160,8 @@ def _photo_inputs(window: WindowData, e: EdgeTable):
         mask_flat=window.mask_flat,
         packed_fg=window.packed_fg,
         packed_feat=window.packed_feat,
+        dense_fg=window.dense_fg,
+        dense_feat=window.dense_feat,
     )
     return kf0, fr1, shared
 
@@ -147,13 +175,15 @@ def _geo_inputs(
         loc1d=window.loc1d[e.i0],
         homo0=window.homo[e.i0],
         base_hw=e.i0 * hw,
+        bias_at=None if window.bias_at is None else window.bias_at[e.i0],
+        jac_at=None if window.jac_at is None else window.jac_at[e.i0],
     )
     kf1 = geometric.GeoKf1(base_hw=e.i1 * hw)
     # frame-1 decode + quad pack ONCE PER KEYFRAME per linearization —
     # edges sharing a target keyframe reuse the table (in_axes=None)
     packed_full, packed_dpt = geometric.build_frame1_tables(
         window.bias_flat, window.jac_flat,
-        variables.code, variables.scale, cam,
+        variables.code, variables.scale, cam, window.mask_flat,
     )
     shared = geometric.GeoShared(
         bias_flat=window.bias_flat.reshape(-1),
