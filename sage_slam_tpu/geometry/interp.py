@@ -71,72 +71,6 @@ def bilinear_flat(
     return out
 
 
-def pack_pairs(rows: jax.Array) -> jax.Array:
-    """Pack a row-major flat image [total, C] into pair rows [total, 2C]
-    with ``out[p] = (rows[p-1], rows[p])`` (``out[0][:C]`` is zero).
-
-    This is the TPU gather-packing trick used by all bilinear hot paths:
-    the two x-taps of a bilinear corner row become ONE gathered row, so a
-    4-corner bilinear needs 2 dynamic gathers instead of 4. TPU gather
-    cost is dominated by index count, not row width (measured ~2x).
-
-    The output has ``total + 1`` rows: the extra final row holds
-    ``(rows[total-1], 0)`` so the gather index ``total`` (bottom-right
-    corner of the last image) resolves without a wrong-row clip.
-    """
-    zero = jnp.zeros_like(rows[:1])
-    prev = jnp.concatenate([zero, rows], axis=0)
-    cur = jnp.concatenate([rows, zero], axis=0)
-    return jnp.concatenate([prev, cur], axis=-1)
-
-
-def bilinear_packed(
-    packed: jax.Array,  # [total, 2C] from pack_pairs, row-major per level
-    x: jax.Array,  # [N] pixel x (level coords)
-    y: jax.Array,  # [N] pixel y (level coords)
-    width: int,
-    height: int,
-    offset=0,
-) -> jax.Array:
-    """Zero-padding bilinear gather from a pair-packed flat image -> [N, C].
-
-    Bit-equivalent semantics to :func:`bilinear_flat` (per-corner
-    WITHIN_BOUNDS zero padding, photometric_factor_kernels.cpp:106-139):
-    gathering row ``offset + yi*width + xi1`` yields slot0 = pixel
-    ``(yi, xi0)`` and slot1 = pixel ``(yi, xi1)``; every cross-row /
-    cross-level misread happens only for corners whose bounds weight is
-    exactly zero.
-    """
-    total = packed.shape[0]
-    c = packed.shape[-1] // 2
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx0 = x0 + 1.0 - x
-    wy0 = y0 + 1.0 - y
-    wx1 = 1.0 - wx0
-    wy1 = 1.0 - wy0
-    xi0 = x0.astype(jnp.int32)
-    yi0 = y0.astype(jnp.int32)
-    xi1 = xi0 + 1
-    yi1 = yi0 + 1
-    dt = packed.dtype
-    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
-    bx1 = ((xi1 >= 0) & (xi1 < width)).astype(dt)
-    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
-    by1 = ((yi1 >= 0) & (yi1 < height)).astype(dt)
-    # clip before the index arithmetic so huge warp coords cannot overflow
-    xc = jnp.clip(xi1, 0, width)
-    r0 = offset + jnp.clip(yi0, -1, height) * width + xc
-    r1 = offset + jnp.clip(yi1, -1, height) * width + xc
-    a = jnp.take(packed, jnp.clip(r0, 0, total - 1), axis=0)
-    b = jnp.take(packed, jnp.clip(r1, 0, total - 1), axis=0)
-    w00 = (wx0 * wy0 * bx0 * by0)[:, None]
-    w10 = (wx1 * wy0 * bx1 * by0)[:, None]
-    w01 = (wx0 * wy1 * bx0 * by1)[:, None]
-    w11 = (wx1 * wy1 * bx1 * by1)[:, None]
-    return a[..., :c] * w00 + a[..., c:] * w10 + b[..., :c] * w01 + b[..., c:] * w11
-
-
 def pack_quads_level(rows: jax.Array, width: int) -> jax.Array:
     """Pack ONE row-major level image [..., M, C] (M = width*height) into
     quad rows [..., M + width + 1, 4C] holding all four bilinear corners:
@@ -147,7 +81,7 @@ def pack_quads_level(rows: jax.Array, width: int) -> jax.Array:
     (x0,y0), (x1,y0), (x0,y1), (x1,y1) in slots 0..3 — a 4-corner bilinear
     costs ONE dynamic gather. Out-of-image slots read zero padding or a
     neighboring row, but only for corners whose bounds weight is exactly
-    zero (same argument as pack_pairs). Unlike pack_pairs this needs the
+    zero (those slots are multiplied by a zero corner weight). Needs the
     level width, so multi-level pyramids pack per level segment.
     """
     m, c = rows.shape[-2:]
@@ -177,7 +111,7 @@ def bilinear_quad(
 
     Bit-equivalent semantics to :func:`bilinear_flat` (per-corner
     WITHIN_BOUNDS zero padding, photometric_factor_kernels.cpp:106-139),
-    with ONE dynamic gather per point instead of four (or pack_pairs' two).
+    with ONE dynamic gather per point instead of four.
     """
     c = packed.shape[-1] // 4
     x0 = jnp.floor(x)
@@ -211,133 +145,6 @@ def bilinear_quad(
     )
 
 
-def quad_nearest_select(
-    rowv: jax.Array,  # [N, 4*cw] gathered quad rows
-    x: jax.Array,
-    y: jax.Array,
-    width: int,
-    height: int,
-    col: int,
-    cw: int,
-) -> jax.Array:
-    """Nearest-neighbor value from already-gathered quad rows -> [N].
-
-    Reproduces :func:`nearest_flat` for a value stored per corner at
-    column ``col`` (corner stride ``cw``): the rounded pixel is always one
-    of the 4 bilinear corners, so folding the value into the quad table
-    removes a whole per-point gather (used for the validity mask,
-    photometric_factor_kernels.cpp:159-166).
-
-    Rounding: half-up (frac >= 0.5), matching the reference CUDA
-    ``round()`` (half-away-from-zero for the positive pixel coords);
-    ``nearest_flat`` uses jnp.round (half-to-even) — they differ only at
-    exact .5 fractions, a measure-zero set for warped coordinates.
-    """
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    ex = (x - x0f) >= 0.5
-    ey = (y - y0f) >= 0.5
-    xr = x0f.astype(jnp.int32) + ex.astype(jnp.int32)
-    yr = y0f.astype(jnp.int32) + ey.astype(jnp.int32)
-    inb = (xr >= 0) & (xr < width) & (yr >= 0) & (yr < height)
-    m00 = rowv[:, 0 * cw + col]
-    m10 = rowv[:, 1 * cw + col]
-    m01 = rowv[:, 2 * cw + col]
-    m11 = rowv[:, 3 * cw + col]
-    mx0 = jnp.where(ey, m01, m00)
-    mx1 = jnp.where(ey, m11, m10)
-    val = jnp.where(ex, mx1, mx0)
-    return val * inb.astype(rowv.dtype)
-
-
-def quad_gather_rows(
-    packed: jax.Array,  # [total_q, 4*cw] from pack_quads_level
-    x: jax.Array,
-    y: jax.Array,
-    width: int,
-    height: int,
-    offset=0,
-):
-    """One quad-row gather -> (rowv [N, 4*cw], (w00, w10, w01, w11)).
-
-    The weights carry the per-corner WITHIN_BOUNDS zero padding
-    (photometric_factor_kernels.cpp:106-139); combining
-    ``sum_j rowv[:, j*cw : j*cw+c] * w_j`` equals :func:`bilinear_quad`.
-    """
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx0 = x0 + 1.0 - x
-    wy0 = y0 + 1.0 - y
-    wx1 = 1.0 - wx0
-    wy1 = 1.0 - wy0
-    xi0 = x0.astype(jnp.int32)
-    yi0 = y0.astype(jnp.int32)
-    dt = packed.dtype
-    bx0 = ((xi0 >= 0) & (xi0 < width)).astype(dt)
-    bx1 = ((xi0 + 1 >= 0) & (xi0 + 1 < width)).astype(dt)
-    by0 = ((yi0 >= 0) & (yi0 < height)).astype(dt)
-    by1 = ((yi0 + 1 >= 0) & (yi0 + 1 < height)).astype(dt)
-    xc = jnp.clip(xi0, -1, width - 1)
-    yc = jnp.clip(yi0, -1, height - 1)
-    q = offset + (width + 1) + yc * width + xc
-    rowv = jnp.take(packed, q, axis=0)  # [N, 4*cw]
-    w00 = (wx0 * wy0 * bx0 * by0)[:, None]
-    w10 = (wx1 * wy0 * bx1 * by0)[:, None]
-    w01 = (wx0 * wy1 * bx0 * by1)[:, None]
-    w11 = (wx1 * wy1 * bx1 * by1)[:, None]
-    return rowv, (w00, w10, w01, w11)
-
-
-def combine_quad(rowv: jax.Array, weights, c: int, cw: int | None = None):
-    """Weighted corner combine of gathered quad rows -> [N, c].
-
-    ``cw`` is the per-corner stride (defaults to ``c``); extra columns
-    beyond ``c`` (e.g. a folded mask) are excluded from the bilinear."""
-    if cw is None:
-        cw = c
-    w00, w10, w01, w11 = weights
-    return (
-        rowv[:, 0 * cw : 0 * cw + c] * w00
-        + rowv[:, 1 * cw : 1 * cw + c] * w10
-        + rowv[:, 2 * cw : 2 * cw + c] * w01
-        + rowv[:, 3 * cw : 3 * cw + c] * w11
-    )
-
-
-def dense_bilinear(
-    rows: jax.Array,  # [H*W, C] one level image, row-major
-    x: jax.Array,  # [N] level coords
-    y: jax.Array,  # [N]
-    width: int,
-    height: int,
-) -> jax.Array:
-    """Gather-free bilinear sampling of a SMALL level image -> [N, C].
-
-    The bilinear weight of pixel p for point n is the separable hat
-    ``relu(1-|x_n-px_p|) * relu(1-|y_n-py_p|)`` — exactly the 4-corner
-    weights of :func:`bilinear_flat` with per-corner zero padding (out-of-
-    image corners simply have no column). Contracting the hat weights
-    against the image rows on the MXU (precision=HIGHEST for f32-exact
-    accumulation) replaces a per-point gather; profitable when H*W is a
-    few hundred pixels (pyramid levels 2-3), where the ~20 ns/row TPU
-    gather cost dwarfs the dense FLOPs."""
-    c = rows.shape[-1]
-    dt = rows.dtype
-    py = jnp.arange(height, dtype=dt)
-    px = jnp.arange(width, dtype=dt)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - py))  # [N, H]
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - px))  # [N, W]
-    a = jax.lax.dot_general(
-        wy,
-        rows.reshape(height, width * c),
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(-1, width, c)
-    return jnp.einsum(
-        "nw,nwc->nc", wx, a, precision=jax.lax.Precision.HIGHEST
-    )
-
-
 def quad_gather_cols(
     packedT: jax.Array,  # [4*cw, total_q] TRANSPOSED quad table
     x: jax.Array,
@@ -346,8 +153,11 @@ def quad_gather_cols(
     height: int,
     offset=0,
 ):
-    """Channel-major :func:`quad_gather_rows`: one column gather ->
-    (rowv [4*cw, N], (w00, w10, w01, w11) each [N]).
+    """One quad-column gather from a TRANSPOSED quad table ->
+    (rowv [4*cw, N], (w00, w10, w01, w11) each [N]). The weights carry the
+    per-corner WITHIN_BOUNDS zero padding
+    (photometric_factor_kernels.cpp:106-139); combining
+    ``sum_j rowv[j*cw : j*cw+c] * w_j`` equals :func:`bilinear_quad`.
 
     Channel-major layouts keep N on the TPU lane axis (full 128-lane
     vectors, sublane-axis channel reductions) — the layout used by the
@@ -398,7 +208,18 @@ def quad_nearest_select_cm(
     col: int,
     cw: int,
 ) -> jax.Array:
-    """Channel-major :func:`quad_nearest_select` -> [N]."""
+    """Nearest-neighbor value from already-gathered quad columns -> [N].
+
+    Reproduces :func:`nearest_flat` for a value stored per corner at row
+    ``col`` (corner stride ``cw``): the rounded pixel is always one of the
+    4 bilinear corners, so folding the value into the quad table removes a
+    whole per-point gather (used for the validity mask,
+    photometric_factor_kernels.cpp:159-166).
+
+    Rounding: half-up (frac >= 0.5), matching the reference CUDA
+    ``round()`` (half-away-from-zero for positive pixel coords);
+    ``nearest_flat`` uses jnp.round (half-to-even) — they differ only at
+    exact .5 fractions, a measure-zero set for warped coordinates."""
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     ex = (x - x0f) >= 0.5
@@ -423,7 +244,16 @@ def dense_bilinear_cm(
     width: int,
     height: int,
 ) -> jax.Array:
-    """Channel-major :func:`dense_bilinear` -> [C, N]."""
+    """Gather-free bilinear sampling of a SMALL level image -> [C, N].
+
+    The bilinear weight of pixel p for point n is the separable hat
+    ``relu(1-|x_n-px_p|) * relu(1-|y_n-py_p|)`` — exactly the 4-corner
+    weights of :func:`bilinear_flat` with per-corner zero padding (out-of-
+    image corners simply have no column). Contracting the hat weights
+    against the image rows on the MXU (precision=HIGHEST for f32-exact
+    accumulation) replaces a per-point gather; profitable when H*W is a
+    few hundred pixels (pyramid levels 2-3), where the ~20 ns/row TPU
+    gather cost dwarfs the dense FLOPs."""
     c = rows_cm.shape[0]
     dt = rows_cm.dtype
     px = jnp.arange(width, dtype=dt)

@@ -40,18 +40,19 @@ class GeoShared(NamedTuple):
     """Shared flat depth tables: bias_flat [K*HW], jac_flat [K*HW, CS],
     mask_flat [HW].
 
-    packed_full / packed_dpt are optional quad-packed gather tables over
-    the CURRENT variables' decoded frame-1 rows (build_frame1_tables);
-    they hoist the per-edge full-frame depth decode + spatial grad + pack
-    out of the per-edge path (edges sharing a target keyframe re-used to
-    redo it per edge). They depend on (code, scale), so they are rebuilt
-    once per linearization, not once per problem."""
+    packed_full / packed_dpt are optional TRANSPOSED (channel-major)
+    quad-packed gather tables over the CURRENT variables' decoded frame-1
+    rows + the folded validity mask (build_frame1_tables); they hoist the
+    per-edge full-frame depth decode + spatial grad + pack out of the
+    per-edge path (edges sharing a target keyframe re-used to redo it per
+    edge). They depend on (code, scale), so they are rebuilt once per
+    linearization, not once per problem."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     mask_flat: jax.Array
-    packed_full: jax.Array | None = None  # [K*R, 4*(3+CS)], R = HW+w+1
-    packed_dpt: jax.Array | None = None  # [K*R, 4]
+    packed_full: jax.Array | None = None  # [4*(3+CS+1), K*R], R = HW+w+1
+    packed_dpt: jax.Array | None = None  # [4*2, K*R]
 
 
 class GeoKf0(NamedTuple):
@@ -111,16 +112,6 @@ def build_frame1_tables(
 def _quad_base(kf1: GeoKf1, hw: int, w: int):
     """Frame-1 row offset in the quad tables from the pixel offset."""
     return (kf1.base_hw // hw) * (hw + w + 1)
-
-
-def _decode_depth0(shared: GeoShared, kf0: GeoKf0, code0, scale0):
-    if kf0.bias_at is not None:
-        bias, jac = kf0.bias_at, kf0.jac_at
-    else:
-        loc = kf0.base_hw + kf0.loc1d
-        bias = jnp.take(shared.bias_flat, loc)
-        jac = jnp.take(shared.jac_flat, loc, axis=0)
-    return scale0 * (bias + jac @ code0), jac
 
 
 def _decode_frame1(shared: GeoShared, kf1: GeoKf1, code1, scale1, hw, h, w):

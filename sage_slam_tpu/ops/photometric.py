@@ -45,33 +45,34 @@ class PhotoShared(NamedTuple):
       feat_pyr [C, K*T], grad_pyr [2, C, K*T], mask_flat [HW].
     Pass with vmap in_axes=None.
 
-    packed_fg / packed_feat are optional QUAD-packed gather tables
-    (interp.pack_quads_level over [feat | grad] rows / feat rows, per level
-    segment): with them a 4-corner bilinear of features+gradients costs ONE
-    dynamic gather per point per level — the gather passes are ~90% of
-    linearize time on TPU. Built lazily when absent; precompute via
+    packed_fg / packed_feat are optional TRANSPOSED (channel-major)
+    QUAD-packed gather tables (interp.pack_quads_level over [feat | grad |
+    mask] rows / [feat | mask] rows per level segment, then transposed):
+    with them a 4-corner bilinear of features+gradients costs ONE dynamic
+    column gather per point per level — the gather passes are the dominant
+    linearize cost on TPU. Built lazily when absent; precompute via
     :func:`build_photo_tables` to hoist the packing out of an LM
-    while_loop. Layout: [K * Tq, 4*cw] with Tq = cam_pyr.total_quad_rows;
-    frame k's level l segment starts at k*Tq + quad_level_offsets[l].
-    When built by build_photo_tables, each corner additionally carries the
-    full-res validity mask as its last column (cw = 3C+1 / C+1, level-0
-    segment only) so the mask nearest-lookup rides the level-0 gather
-    (interp.quad_nearest_select) instead of costing its own gather.
+    while_loop. Layout: [4*cw, K * Tq] with Tq = cam_pyr.total_quad_rows;
+    frame k's level l segment starts at column k*Tq + quad_level_offsets[l].
+    Each corner additionally carries the full-res validity mask as its
+    last row (cw = 3C+1 / C+1, level-0 segment only) so the mask
+    nearest-lookup rides the level-0 gather (interp.quad_nearest_select_cm)
+    instead of costing its own gather.
 
     dense_fg / dense_feat hold the COARSEST pyramid levels as per-frame
-    row tables ([K, M_l, 3C] / [K, M_l, C], suffix of levels with
-    M_l <= DENSE_MAX_PIXELS): those levels are sampled gather-free by MXU
-    hat-weight contraction (interp.dense_bilinear)."""
+    channel-major tables ([K, 3C, M_l] / [K, C, M_l], suffix of levels
+    with M_l <= DENSE_MAX_PIXELS): those levels are sampled gather-free by
+    MXU hat-weight contraction (interp.dense_bilinear_cm)."""
 
     bias_flat: jax.Array
     jac_flat: jax.Array
     feat_pyr: jax.Array
     grad_pyr: jax.Array
     mask_flat: jax.Array
-    packed_fg: jax.Array | None = None  # [K*Tq, 4*3C(+1)]
-    packed_feat: jax.Array | None = None  # [K*Tq, 4*C(+1)]
-    dense_fg: tuple = ()  # per dense level: [K, M_l, 3C]
-    dense_feat: tuple = ()  # per dense level: [K, M_l, C]
+    packed_fg: jax.Array | None = None  # [4*(3C+1), K*Tq]
+    packed_feat: jax.Array | None = None  # [4*(C+1), K*Tq]
+    dense_fg: tuple = ()  # per dense level: [K, 3C, M_l]
+    dense_feat: tuple = ()  # per dense level: [K, C, M_l]
 
 
 # pyramid levels at or below this pixel count are sampled by dense
@@ -99,22 +100,6 @@ def _pack_pyramid_quads(rows: jax.Array, cam_pyr: CameraPyramid):
         segs.append(interp.pack_quads_level(seg, cam.width))
     out = jnp.concatenate(segs, axis=1)  # [K, Tq, 4C]
     return out.reshape(-1, 4 * c)
-
-
-def build_packed_tables(
-    feat_pyr: jax.Array, grad_pyr: jax.Array, cam_pyr: CameraPyramid
-):
-    """(packed_fg, packed_feat) quad-packed gather tables from the shared
-    channel-major pyramids feat_pyr [C, K*T], grad_pyr [2, C, K*T]."""
-    c, m = feat_pyr.shape
-    t = cam_pyr.total_pixels
-    k = m // t
-    featT = feat_pyr.T.reshape(k, t, c)
-    gradT = grad_pyr.reshape(2 * c, m).T.reshape(k, t, 2 * c)  # d-major cols
-    rows_fg = jnp.concatenate([featT, gradT], axis=-1)  # [K, T, 3C]
-    packed_fg = _pack_pyramid_quads(rows_fg, cam_pyr)
-    packed_feat = _pack_pyramid_quads(featT, cam_pyr)
-    return packed_fg, packed_feat
 
 
 def build_photo_tables(
@@ -215,16 +200,6 @@ def single_frame_shared(
     )
 
 
-def _decode_depth_at(shared: PhotoShared, kf0: PhotoKf0, code0, scale0):
-    if kf0.bias_at is not None:
-        bias, jac = kf0.bias_at, kf0.jac_at
-    else:
-        loc = kf0.base_hw + kf0.loc1d
-        bias = jnp.take(shared.bias_flat, loc)
-        jac = jnp.take(shared.jac_flat, loc, axis=0)
-    return scale0 * (bias + jac @ code0), jac
-
-
 def _per_level_samples(
     cam_pyr: CameraPyramid,
     level: int,
@@ -244,30 +219,8 @@ def _per_level_samples(
     )
 
 
-def _per_level_packed(
-    cam_pyr: CameraPyramid,
-    level: int,
-    u_full: jax.Array,
-    v_full: jax.Array,
-    packed: jax.Array,  # [K*Tq, 4C] quad-packed table
-    base: jax.Array,  # scalar frame PIXEL offset (multiple of T)
-):
-    """Quad-packed variant of _per_level_samples -> [N, C] (one gather)."""
-    cam_l = cam_pyr[level]
-    cam0 = cam_pyr[0]
-    rx = cam_l.fx / cam0.fx
-    ry = cam_l.fy / cam0.fy
-    ul, vl = interp.level_coords(u_full, v_full, rx, ry)
-    # convert the frame pixel offset into the quad-table frame offset
-    qbase = (base // cam_pyr.total_pixels) * cam_pyr.total_quad_rows
-    return interp.bilinear_quad(
-        packed, ul, vl, cam_l.width, cam_l.height,
-        qbase + cam_pyr.quad_level_offsets[level],
-    )
-
-
 def _target_samples_cm(
-    shared: PhotoShared,
+    mask_flat: jax.Array,
     cam_pyr: CameraPyramid,
     u1: jax.Array,
     v1: jax.Array,
@@ -319,7 +272,7 @@ def _target_samples_cm(
             )
     if within is None:
         within = interp.nearest_flat(
-            shared.mask_flat, u1, v1, cam0.width, cam0.height
+            mask_flat, u1, v1, cam0.width, cam0.height
         )
     return out, within
 
@@ -401,7 +354,8 @@ def photometric_error(
     c = shared.feat_pyr.shape[0]
     _, packed_feat, _, dense_feat = _tables(shared, cam_pyr)
     f1s, within = _target_samples_cm(
-        shared, cam_pyr, u1, v1, fr1.base_pyr, packed_feat, dense_feat, c
+        shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_feat,
+        dense_feat, c,
     )
     gate = pos * within
 
@@ -460,7 +414,8 @@ def photometric_jac_error(
     c = shared.feat_pyr.shape[0]
     packed_fg, _, dense_fg, _ = _tables(shared, cam_pyr)
     fgs, within = _target_samples_cm(
-        shared, cam_pyr, u1, v1, fr1.base_pyr, packed_fg, dense_fg, 3 * c
+        shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_fg,
+        dense_fg, 3 * c,
     )
     gate = pos * within  # [N]
     gate2 = gate * gate  # = gate for binary masks; kept for soft masks

@@ -50,6 +50,21 @@ def psd_bump(mat: jnp.ndarray, rel: float = 2e-4) -> jnp.ndarray:
     as zero.
     """
     sym = 0.5 * (mat + jnp.swapaxes(mat, -1, -2))
+    return _bump(sym, rel)
+
+
+def _bump(sym: jnp.ndarray, rel: float) -> jnp.ndarray:
     d = sym.shape[-1]
     c = jnp.max(jnp.sum(jnp.abs(sym), axis=-1), axis=-1)  # [...]
     return sym + (rel * c)[..., None, None] * jnp.eye(d, dtype=sym.dtype)
+
+
+def psd_bump_symmetric(mat: jnp.ndarray, rel: float = 2e-4) -> jnp.ndarray:
+    """:func:`psd_bump` for blocks that are ALREADY bit-symmetric.
+
+    The channel-major factor kernels build AtA as Kx (g Kx)^T + Ky (g Ky)^T
+    style Gram sums whose f32 results are exactly symmetric (each (i, j)
+    and (j, i) entry sums the identical products in the identical order),
+    so the symmetrizing transpose — a minor-dim relayout the TPU pays real
+    time for — is skipped."""
+    return _bump(mat, rel)

@@ -44,25 +44,48 @@ class TrackerRef(NamedTuple):
 class TrackerTarget(NamedTuple):
     """Frame-to-track data.
 
-    packed_fg / packed_feat are optional quad-packed gather tables (see
-    ops/photometric.build_packed_tables); prebuild them per frame so the
-    LM while_loop's per-level sampling costs ONE gather instead of 8."""
+    packed_fg / packed_feat are optional TRANSPOSED (channel-major) quad
+    gather tables with the folded mask column, dense_fg / dense_feat the
+    coarse-level dense tables (see ops/photometric.build_photo_tables);
+    prebuild them per frame so the LM while_loop's per-level sampling
+    costs ONE gather (or a gather-free MXU hat-matmul)."""
 
     feat_pyr: jax.Array  # [C, T]
     grad_pyr: jax.Array  # [2, C, T]
     mask_flat: jax.Array  # [HW] full-res video mask
-    packed_fg: jax.Array | None = None  # [Tq, 4*3C]
-    packed_feat: jax.Array | None = None  # [Tq, 4*C]
+    packed_fg: jax.Array | None = None  # [4*(3C+1), Tq]
+    packed_feat: jax.Array | None = None  # [4*(C+1), Tq]
+    dense_fg: tuple = ()  # per dense level: [1, 3C, M_l]
+    dense_feat: tuple = ()  # per dense level: [1, C, M_l]
 
     def with_packed(self, cam_pyr) -> "TrackerTarget":
-        from ..ops.photometric import build_packed_tables
+        from ..ops.photometric import build_photo_tables
 
         if self.packed_fg is not None:
             return self
-        packed_fg, packed_feat = build_packed_tables(
-            self.feat_pyr, self.grad_pyr, cam_pyr
+        packed_fg, packed_feat, dense_fg, dense_feat = build_photo_tables(
+            self.feat_pyr, self.grad_pyr, self.mask_flat, cam_pyr
         )
-        return self._replace(packed_fg=packed_fg, packed_feat=packed_feat)
+        return self._replace(
+            packed_fg=packed_fg,
+            packed_feat=packed_feat,
+            dense_fg=dense_fg,
+            dense_feat=dense_feat,
+        )
+
+    def _tables(self, cam_pyr):
+        if self.packed_fg is not None:
+            return (
+                self.packed_fg,
+                self.packed_feat,
+                self.dense_fg,
+                self.dense_feat,
+            )
+        from ..ops.photometric import build_photo_tables
+
+        return build_photo_tables(
+            self.feat_pyr, self.grad_pyr, self.mask_flat, cam_pyr
+        )
 
 
 def _sample_source_features(
@@ -90,109 +113,98 @@ def tracker_photo_jac_error(
     """Tracker photometric term (tracker_photo_jac_error_calculate,
     photometric_factor_kernels.cpp:524-873, host :1166-1325).
 
+    Channel-major formulation (see ops/photometric.photometric_jac_error):
+    [N]-lane per-point scalars, [C, N] samples, K-rows [D, N], Gram via
+    two MXU matmuls.
+
     Returns (AtA [D,D], Atb [D], error, n_inl) with D = 6 or 7."""
-    dim = 6 if scale0 is None else 7
+    from ..ops.photometric import _target_samples_cm
+
     dtype = ref.photo_homo0.dtype
     cam0 = cam_pyr[0]
+    hp = jax.lax.Precision.HIGHEST
 
-    rh = ref.photo_homo0 @ rot10.T  # [N, 3]
-    x1 = ref.photo_dpts0[:, None] * rh + t10
-    pos = (x1[:, 2] > eps).astype(dtype)
-    u = x1[:, 0] / x1[:, 2] * cam0.fx + cam0.cx
-    v = x1[:, 1] / x1[:, 2] * cam0.fy + cam0.cy
-    within = interp.nearest_flat(
-        target.mask_flat, u, v, cam0.width, cam0.height
+    rh = jnp.matmul(rot10, ref.photo_homo0.T, precision=hp)  # [3, N]
+    x1 = ref.photo_dpts0[None] * rh + t10[:, None]  # [3, N]
+    pos = (x1[2] > eps).astype(dtype)
+    u = x1[0] / x1[2] * cam0.fx + cam0.cx
+    v = x1[1] / x1[2] * cam0.fy + cam0.cy
+
+    c = target.feat_pyr.shape[0]
+    packed_fg, _, dense_fg, _ = target._tables(cam_pyr)
+    fgs, within = _target_samples_cm(
+        target.mask_flat, cam_pyr, u, v, 0, packed_fg, dense_fg, 3 * c
     )
     gate = pos * within
+    gate2 = gate * gate
 
-    x, y, z = x1[:, 0], x1[:, 1], x1[:, 2]
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
-    jac_rel = jnp.stack(
-        [
-            jnp.stack([one, zero, zero, zero, z, -y], axis=-1),
-            jnp.stack([zero, one, zero, -z, zero, x], axis=-1),
-            jnp.stack([zero, zero, one, y, -x, zero], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 3, 6]
-
+    gxx = gxy = gyy = hx = hy = jnp.zeros_like(gate)
     err_total = jnp.zeros((), dtype)
-    n_inl = jnp.zeros((), dtype)
-
-    from ..ops.photometric import build_packed_tables
-
-    packed_fg = (
-        target.packed_fg
-        if target.packed_fg is not None
-        else build_packed_tables(target.feat_pyr, target.grad_pyr, cam_pyr)[0]
-    )
-    c = target.feat_pyr.shape[0]
-    n = u.shape[0]
-    # channel-sum collapse via the per-point 2x2 gradient Gram, and level
-    # collapse via K_l = diag(rx_l, ry_l) K_0 (see ops/photometric.py):
-    # accumulate sum_l w_l S_l Gram_l S_l per point, contract once.
-    g_acc = jnp.zeros((n, 2, 2), dtype)
-    hv_acc = jnp.zeros((n, 2), dtype)
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
+        fg = fgs[lvl]  # [3C, N]
+        f0 = ref.cat_photo_feats0[lvl].T  # [C, N]
+        f1 = fg[:c]
+        gx = fg[c : 2 * c]  # packed grad rows are (d, c)-ordered
+        gy = fg[2 * c :]
+        d = f0 - f1
+        wl = jnp.asarray(weights[lvl], dtype)
         rx = cam_l.fx / cam0.fx
         ry = cam_l.fy / cam0.fy
-        ul, vl = interp.level_coords(u, v, rx, ry)
-        fg = interp.bilinear_quad(
-            packed_fg, ul, vl, cam_l.width, cam_l.height,
-            cam_pyr.quad_level_offsets[lvl],
-        )  # [N, 3C]
-        f1 = fg[:, :c]  # [N, C]
-        # packed grad columns are (d, c)-ordered -> [N, 2, C], no transpose
-        g1 = fg[:, c:].reshape(-1, 2, c) * gate[:, None, None]
+        gxx = gxx + (wl * rx * rx) * jnp.sum(gx * gx, axis=0)
+        gxy = gxy + (wl * rx * ry) * jnp.sum(gx * gy, axis=0)
+        gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
+        hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
+        hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
+        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
+    n_inl = jnp.sum(gate)
+    gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
+    hx, hy = gate2 * hx, gate2 * hy
 
-        f0 = ref.cat_photo_feats0[lvl]  # [N, C]
-        diff = gate[:, None] * (f0 - f1)  # [N, C]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
-        if lvl == 0:
-            n_inl = jnp.sum(gate)
-
-        gram = jnp.einsum("ndc,nec->nde", g1, g1)  # [N, 2, 2]
-        h_vec = jnp.einsum("ndc,nc->nd", g1, diff)  # [N, 2]
-        wl = jnp.asarray(weights[lvl], dtype)
-        s = jnp.asarray([rx, ry], dtype)
-        g_acc = g_acc + (wl * s[:, None] * s[None, :]) * gram
-        hv_acc = hv_acc + (wl * s) * h_vec
-        err_total = err_total + wl * jnp.sum(err_pt)
-
-    # geometry rows once, at full-res intrinsics
-    inv_z = 1.0 / x1[:, 2]
-    x_z = x1[:, 0] * inv_z
-    y_z = x1[:, 1] * inv_z
-    pj = jnp.stack(
-        [
-            jnp.stack(
-                [cam0.fx * inv_z, zero, -cam0.fx * x_z * inv_z], axis=-1
-            ),
-            jnp.stack(
-                [zero, cam0.fy * inv_z, -cam0.fy * y_z * inv_z], axis=-1
-            ),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    j2d = jnp.einsum("nij,njk->nik", pj, jac_rel)  # [N, 2, 6]
+    # K-rows [D, N] for the relative-pose tangent: jac_rel columns are
+    # (I | [z,-y; -z,x; y,-x] pattern), projected through the pinhole
+    # jacobian rows (kernels :241-245, :560-610)
+    x, y, z = x1[0], x1[1], x1[2]
+    inv_z = 1.0 / z
+    xz = x * inv_z
+    yz = y * inv_z
+    fxz = cam0.fx * inv_z
+    fyz = cam0.fy * inv_z
+    zero = jnp.zeros_like(x)
+    kx_cols = [
+        fxz,
+        zero,
+        -fxz * xz,
+        -fxz * xz * y,
+        fxz * (z + xz * x),
+        -fxz * y,
+    ]
+    ky_cols = [
+        zero,
+        fyz,
+        -fyz * yz,
+        fyz * (-z - yz * y),
+        fyz * yz * x,
+        fyz * x,
+    ]
     if scale0 is not None:
-        jdpt = jnp.stack(
-            [
-                cam0.fx * (rh[:, 0] * inv_z - x1[:, 0] * rh[:, 2] * inv_z**2),
-                cam0.fy * (rh[:, 1] * inv_z - x1[:, 1] * rh[:, 2] * inv_z**2),
-            ],
-            axis=-1,
-        )  # [N, 2]
-        jscale2d = jdpt * (ref.photo_dpts0 / scale0)[:, None]
-        k_rows = jnp.concatenate([j2d, jscale2d[..., None]], axis=-1)
-    else:
-        k_rows = j2d  # [N, 2, dim]
-    kg = jnp.einsum("nab,nbq->naq", g_acc, k_rows)  # [N, 2, dim]
-    k_flat = k_rows.reshape(-1, dim)  # [2N, dim]
-    ata = k_flat.T @ kg.reshape(-1, dim)
-    atb = k_flat.T @ hv_acc.reshape(-1)
+        dx = cam0.fx * (rh[0] * inv_z - x * rh[2] * inv_z * inv_z)
+        dy = cam0.fy * (rh[1] * inv_z - y * rh[2] * inv_z * inv_z)
+        kx_cols.append(dx * (ref.photo_dpts0 / scale0))
+        ky_cols.append(dy * (ref.photo_dpts0 / scale0))
+    kx = jnp.stack(kx_cols)  # [D, N]
+    ky = jnp.stack(ky_cols)
+
+    kgx = gxx[None] * kx + gxy[None] * ky
+    kgy = gxy[None] * kx + gyy[None] * ky
+    dn_mm = (((1,), (1,)), ((), ()))
+    ata = jax.lax.dot_general(
+        kx, kgx, dn_mm, precision=hp
+    ) + jax.lax.dot_general(ky, kgy, dn_mm, precision=hp)
+    dn_mv = (((1,), (0,)), ((), ()))
+    atb = jax.lax.dot_general(
+        kx, hx, dn_mv, precision=hp
+    ) + jax.lax.dot_general(ky, hy, dn_mv, precision=hp)
 
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     has = n_inl > 0
@@ -205,41 +217,29 @@ def tracker_photo_error(
     rot10, t10, ref: TrackerRef, target: TrackerTarget, cam_pyr, weights, eps
 ):
     """Error-only photometric evaluation for the LM inner loop."""
+    from ..ops.photometric import _target_samples_cm
+
     dtype = ref.photo_homo0.dtype
     cam0 = cam_pyr[0]
-    rh = ref.photo_homo0 @ rot10.T
-    x1 = ref.photo_dpts0[:, None] * rh + t10
-    pos = (x1[:, 2] > eps).astype(dtype)
-    u = x1[:, 0] / x1[:, 2] * cam0.fx + cam0.cx
-    v = x1[:, 1] / x1[:, 2] * cam0.fy + cam0.cy
-    within = interp.nearest_flat(
-        target.mask_flat, u, v, cam0.width, cam0.height
+    hp = jax.lax.Precision.HIGHEST
+    rh = jnp.matmul(rot10, ref.photo_homo0.T, precision=hp)  # [3, N]
+    x1 = ref.photo_dpts0[None] * rh + t10[:, None]
+    pos = (x1[2] > eps).astype(dtype)
+    u = x1[0] / x1[2] * cam0.fx + cam0.cx
+    v = x1[1] / x1[2] * cam0.fy + cam0.cy
+    c = target.feat_pyr.shape[0]
+    _, packed_feat, _, dense_feat = target._tables(cam_pyr)
+    f1s, within = _target_samples_cm(
+        target.mask_flat, cam_pyr, u, v, 0, packed_feat, dense_feat, c
     )
     gate = pos * within
     err_total = jnp.zeros((), dtype)
-    n_inl = jnp.zeros((), dtype)
-    if target.packed_feat is not None:
-        packed_feat = target.packed_feat
-    else:
-        from ..ops.photometric import build_packed_tables
-
-        packed_feat = build_packed_tables(
-            target.feat_pyr, target.grad_pyr, cam_pyr
-        )[1]
     for lvl in range(cam_pyr.levels):
-        cam_l = cam_pyr[lvl]
-        ul, vl = interp.level_coords(
-            u, v, cam_l.fx / cam0.fx, cam_l.fy / cam0.fy
-        )
-        f1 = interp.bilinear_quad(
-            packed_feat, ul, vl, cam_l.width, cam_l.height,
-            cam_pyr.quad_level_offsets[lvl],
-        )  # [N, C]
-        f0 = ref.cat_photo_feats0[lvl]  # [N, C]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=-1)
+        f0 = ref.cat_photo_feats0[lvl].T  # [C, N]
+        f1 = f1s[lvl]  # [C, N]
+        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
-        if lvl == 0:
-            n_inl = jnp.sum(gate)
+    n_inl = jnp.sum(gate)
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     return jnp.where(
         n_inl > 0, err_total / jnp.maximum(n_inl, 1.0), w_sum * 10.0
