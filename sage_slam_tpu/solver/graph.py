@@ -80,14 +80,33 @@ def scatter_hessian(
     atb: jax.Array,  # [E, S]
     valid: jax.Array,  # [E] 0/1
 ):
-    """Scatter-add per-edge Hessian blocks (the SpMM aggregation)."""
-    v = valid[:, None, None]
-    rows = gidx[:, :, None]  # [E, S, 1]
-    cols = gidx[:, None, :]  # [E, 1, S]
-    rows = jnp.broadcast_to(rows, ata.shape)
-    cols = jnp.broadcast_to(cols, ata.shape)
-    h = h.at[rows.reshape(-1), cols.reshape(-1)].add((ata * v).reshape(-1))
-    b = b.at[gidx.reshape(-1)].add((atb * valid[:, None]).reshape(-1))
+    """Accumulate per-edge Hessian blocks (the SpMM aggregation).
+
+    Implemented as one-hot MXU matmuls instead of element scatter-adds:
+    TPU scatters cost ~20 ns/element (E * S^2 elements per factor type
+    dominated the assembly), while H += P^T (A P) with the one-hot
+    selection P [E*S, D] is two tiny dense matmuls. f32 one-hot matmul
+    accumulation is exact per element (each output entry sums the same
+    products as the scatter, in column order)."""
+    d = h.shape[-1]
+    e, s = gidx.shape
+    dt = h.dtype
+    hp = jax.lax.Precision.HIGHEST
+    # P[e, s, :] = one_hot(gidx[e, s], D), zeroed for invalid edges
+    p = (
+        gidx[..., None] == jnp.arange(d, dtype=gidx.dtype)
+    ).astype(dt) * valid[:, None, None]
+    pf = p.reshape(e * s, d)  # [ES, D]
+    # B = A @ P (batched: scatter columns), then H += P^T @ B
+    bmat = jax.lax.dot_general(
+        ata, p, (((2,), (1,)), ((0,), (0,))), precision=hp
+    )  # [E, S, D]
+    h = h + jax.lax.dot_general(
+        pf, bmat.reshape(e * s, d), (((0,), (0,)), ((), ())), precision=hp
+    )
+    b = b + jax.lax.dot_general(
+        pf, atb.reshape(e * s), (((0,), (0,)), ((), ())), precision=hp
+    )
     return h, b
 
 
