@@ -72,6 +72,11 @@ class MapperConfig:
     gn_damp_inc_factor: float = 10.0
     dpt_eps: float = 1.0e-6
     refine_mapping_iters: int = 10
+    # photometric J^T W J reduce backend: "xla" (fused dot_generals) or
+    # "pallas" (ops/pallas_kernels.photo_reduce_pallas, one fused Mosaic
+    # kernel; numerically equivalent, benchmarked within ~5% of each
+    # other on a v5e — see tests/test_pallas.py)
+    photo_reduce: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -403,7 +403,51 @@ def photometric_jac_error(
       AtA = Kx^T (gxx Kx + gxy Ky) + Ky^T (gxy Kx + gyy Ky)
     with gxx/gxy/gyy the level-weight-scaled Gram entries — two
     [29, N] x [N, 29] MXU matmuls per edge."""
-    dtype = kf0.homo0.dtype
+    fgs, f0_cm, gate, kx, ky = photo_prep(
+        p0, p1, code0, scale0, kf0, fr1, shared, cam_pyr, eps
+    )
+    ratios = level_ratios(cam_pyr)
+    ata, atb, err_total, n_inl = photo_reduce_xla(
+        fgs, f0_cm, gate, kx, ky, weights, ratios
+    )
+    return photo_normalize(ata, atb, err_total, n_inl, weights)
+
+
+def level_ratios(cam_pyr: CameraPyramid):
+    """Static per-level focal ratios [(rx_l, ry_l)] relative to level 0."""
+    cam0 = cam_pyr[0]
+    return tuple(
+        (cam_pyr[lvl].fx / cam0.fx, cam_pyr[lvl].fy / cam0.fy)
+        for lvl in range(cam_pyr.levels)
+    )
+
+
+def photo_normalize(ata, atb, err_total, n_inl, weights):
+    """Inlier normalization + zero-inlier penalty (kernels :1049-1161)."""
+    dtype = ata.dtype
+    w_sum = jnp.sum(jnp.asarray(weights, dtype))
+    has_inl = n_inl > 0
+    inv = jnp.where(has_inl, 1.0 / jnp.maximum(n_inl, 1.0), 0.0)
+    error = jnp.where(has_inl, err_total * inv, w_sum * 10.0)
+    return ata * inv, atb * inv, error, n_inl
+
+
+def photo_prep(
+    p0: SE3,
+    p1: SE3,
+    code0: jax.Array,
+    scale0: jax.Array,
+    kf0: PhotoKf0,
+    fr1: PhotoFr1,
+    shared: PhotoShared,
+    cam_pyr: CameraPyramid,
+    eps: float,
+):
+    """Warp + sample + K-row construction for one photometric edge.
+
+    Returns channel-major arrays consumed by photo_reduce_{xla,pallas}:
+    (fgs [L, 3C, N] target samples, f0_cm [L, C, N] source features,
+    gate [N], kx [29, N], ky [29, N])."""
     cam0 = cam_pyr[0]
     hp = jax.lax.Precision.HIGHEST
 
@@ -418,30 +462,6 @@ def photometric_jac_error(
         dense_fg, 3 * c,
     )
     gate = pos * within  # [N]
-    gate2 = gate * gate  # = gate for binary masks; kept for soft masks
-
-    gxx = gxy = gyy = hx = hy = jnp.zeros_like(gate)
-    err_total = jnp.zeros((), dtype)
-    for lvl in range(cam_pyr.levels):
-        cam_l = cam_pyr[lvl]
-        fg = fgs[lvl]  # [3C, N]
-        f0 = kf0.src_feats[lvl].T  # [C, N]
-        f1 = fg[:c]
-        gx = fg[c : 2 * c]  # packed grad rows are (d, c)-ordered
-        gy = fg[2 * c :]
-        d = f0 - f1
-        wl = jnp.asarray(weights[lvl], dtype)
-        rx = cam_l.fx / cam0.fx
-        ry = cam_l.fy / cam0.fy
-        gxx = gxx + (wl * rx * rx) * jnp.sum(gx * gx, axis=0)
-        gxy = gxy + (wl * rx * ry) * jnp.sum(gx * gy, axis=0)
-        gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
-        hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
-        hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
-        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
-    n_inl = jnp.sum(gate)
-    gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
-    hx, hy = gate2 * hx, gate2 * hy
 
     # geometry K-rows [29, N] from [N]-lane scalars (kernels :241-335)
     inv_z = 1.0 / x1[2]
@@ -487,6 +507,48 @@ def photometric_jac_error(
         ],
         axis=0,
     )
+    f0_cm = jnp.swapaxes(kf0.src_feats, -1, -2)  # [L, C, N]
+    return jnp.stack(fgs), f0_cm, gate, kx, ky
+
+
+def photo_reduce_xla(
+    fgs: jax.Array,  # [L, 3C, N]
+    f0_cm: jax.Array,  # [L, C, N]
+    gate: jax.Array,  # [N]
+    kx: jax.Array,  # [29, N]
+    ky: jax.Array,  # [29, N]
+    weights,
+    ratios,
+):
+    """XLA reduce: Gram accumulation + two MXU matmuls per edge.
+
+    Returns UN-normalized (ata, atb, err_total, n_inl); the Pallas kernel
+    in ops/pallas_kernels.py computes the identical function fused."""
+    dtype = gate.dtype
+    c = f0_cm.shape[-2]
+    gate2 = gate * gate  # = gate for binary masks; kept for soft masks
+    hp = jax.lax.Precision.HIGHEST
+
+    gxx = gxy = gyy = hx = hy = jnp.zeros_like(gate)
+    err_total = jnp.zeros((), dtype)
+    for lvl in range(fgs.shape[0]):
+        fg = fgs[lvl]  # [3C, N]
+        f0 = f0_cm[lvl]  # [C, N]
+        f1 = fg[:c]
+        gx = fg[c : 2 * c]  # packed grad rows are (d, c)-ordered
+        gy = fg[2 * c :]
+        d = f0 - f1
+        wl = jnp.asarray(weights[lvl], dtype)
+        rx, ry = ratios[lvl]
+        gxx = gxx + (wl * rx * rx) * jnp.sum(gx * gx, axis=0)
+        gxy = gxy + (wl * rx * ry) * jnp.sum(gx * gy, axis=0)
+        gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
+        hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
+        hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
+        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
+    n_inl = jnp.sum(gate)
+    gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
+    hx, hy = gate2 * hx, gate2 * hy
 
     kgx = gxx[None] * kx + gxy[None] * ky  # [29, N]
     kgy = gxy[None] * kx + gyy[None] * ky
@@ -498,9 +560,4 @@ def photometric_jac_error(
     atb = jax.lax.dot_general(
         kx, hx, dn_mv, precision=hp
     ) + jax.lax.dot_general(ky, hy, dn_mv, precision=hp)
-
-    w_sum = jnp.sum(jnp.asarray(weights, dtype))
-    has_inl = n_inl > 0
-    inv = jnp.where(has_inl, 1.0 / jnp.maximum(n_inl, 1.0), 0.0)
-    error = jnp.where(has_inl, err_total * inv, w_sum * 10.0)
-    return ata * inv, atb * inv, error, n_inl
+    return ata, atb, err_total, n_inl

@@ -223,23 +223,55 @@ def linearize(
     if pe.i0.shape[0] > 0:
         kf0, fr1, shared = _photo_inputs(problem.window, pe)
 
-        def photo_one(p0, p1, c0, s0, kf0_e, fr1_e, sh):
-            return photometric.photometric_jac_error(
-                p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
-                cfg.photo_factor_weights, cfg.dpt_eps,
-            )
+        if getattr(cfg, "photo_reduce", "xla") == "pallas":
+            # fused Mosaic reduce over all edges (ops/pallas_kernels);
+            # prep (warp+sample+K-rows) stays a vmapped XLA program
+            from ..ops import pallas_kernels
 
-        ata, atb, err, _ = jax.vmap(
-            photo_one, in_axes=(0, 0, 0, 0, 0, 0, None)
-        )(
-            _edge_vars(variables, pe.i0),
-            _edge_vars(variables, pe.i1),
-            variables.code[pe.i0],
-            variables.scale[pe.i0],
-            kf0,
-            fr1,
-            shared,
-        )
+            fgs, f0cm, gate, kx, ky = jax.vmap(
+                lambda a, b, cc, d, e_, f, sh: photometric.photo_prep(
+                    a, b, cc, d, e_, f, sh, cam_pyr, cfg.dpt_eps
+                ),
+                in_axes=(0, 0, 0, 0, 0, 0, None),
+            )(
+                _edge_vars(variables, pe.i0),
+                _edge_vars(variables, pe.i1),
+                variables.code[pe.i0],
+                variables.scale[pe.i0],
+                kf0,
+                fr1,
+                shared,
+            )
+            ata, atb, err_t, n_inl = pallas_kernels.photo_reduce_pallas(
+                fgs, f0cm, gate, kx, ky,
+                tuple(cfg.photo_factor_weights),
+                photometric.level_ratios(cam_pyr),
+                shared.feat_pyr.shape[0],
+            )
+            ata, atb, err, _ = jax.vmap(
+                lambda a, b2, e2, n2: photometric.photo_normalize(
+                    a, b2, e2, n2, cfg.photo_factor_weights
+                )
+            )(ata, atb, err_t, n_inl)
+        else:
+
+            def photo_one(p0, p1, c0, s0, kf0_e, fr1_e, sh):
+                return photometric.photometric_jac_error(
+                    p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
+                    cfg.photo_factor_weights, cfg.dpt_eps,
+                )
+
+            ata, atb, err, _ = jax.vmap(
+                photo_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+            )(
+                _edge_vars(variables, pe.i0),
+                _edge_vars(variables, pe.i1),
+                variables.code[pe.i0],
+                variables.scale[pe.i0],
+                kf0,
+                fr1,
+                shared,
+            )
         if psd:
             ata = graph.psd_correct(ata)
         gidx = jnp.concatenate(

@@ -148,7 +148,10 @@ def lm_loop(
         )
 
     def body(state: LMState):
-        h, b, _ = linearize_fn(state.variables)
+        # the linearization's error IS the total error at the current
+        # variables (same per-factor formulas), so it serves as the
+        # accept baseline — no separate error_fn pass at the current point
+        h, b, err0 = linearize_fn(state.variables)
         diag = jnp.diagonal(h)
         h_damped = (
             h
@@ -169,13 +172,13 @@ def lm_loop(
             delta.reshape(k, bd), update_mask
         )
         new_error = error_fn(candidate)
-        accept = new_error < state.error - min_error_dec
+        accept = new_error < err0 - min_error_dec
         next_vars = jax.tree.map(
             lambda a, b_: jnp.where(accept, a, b_),
             candidate,
             state.variables,
         )
-        next_err = jnp.where(accept, new_error, state.error)
+        next_err = jnp.where(accept, new_error, err0)
         next_damp = jnp.where(
             accept,
             jnp.maximum(state.damping / damp_dec, min_damp),
@@ -185,7 +188,7 @@ def lm_loop(
 
     init = LMState(
         variables,
-        error_fn(variables),
+        jnp.asarray(jnp.inf, dtype),
         jnp.asarray(init_damp, dtype),
         jnp.asarray(0, jnp.int32),
     )
