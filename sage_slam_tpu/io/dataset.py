@@ -1,21 +1,25 @@
 """Dataset readers (drivers/ equivalents, S12).
 
 URL-prefix factory like CameraInterfaceFactory (camera_interface_factory.cpp):
-  hdf5://path   -> HDF5 endoscopy dataset (fusion_data.hdf5 layout:
-                   color [N,H,W,3], mask [H,W,1], intrinsics)
-  tum://dir     -> TUM RGB-D directory (rgb.txt)
-  synthetic://  -> procedurally rendered test sequence
+  hdf5://path     -> HDF5 endoscopy dataset (fusion_data.hdf5 layout:
+                     color [N,H,W,3], mask [H,W,1], intrinsics)
+  tum://dir       -> TUM RGB-D directory (rgb.txt)
+  icl://dir       -> ICL-NUIM directory (associate.txt + groundtruth.txt,
+                     icl_interface.cpp)
+  scannet://dir   -> ScanNet sequence (color/ depth/ pose/ intrinsic/,
+                     scannet_interface.cpp)
+  synthetic://    -> procedurally rendered test sequence
 
 h5py is not available in this environment; the HDF5 reader degrades to a
 clear error message if the dependency is missing (stubbed per the build
-rules), while the TUM/synthetic readers are pure numpy.
+rules), while the other readers are pure numpy/PIL.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -26,6 +30,9 @@ from ..geometry.camera import PinholeCamera
 class FrameRecord:
     timestamp: float
     image: np.ndarray  # [3, H, W] float32 in [0, 1]
+    # optional ground-truth payloads (ICL/ScanNet readers; eval only)
+    depth: Optional[np.ndarray] = None  # [H, W] float32 meters
+    pose_wf: Optional[np.ndarray] = None  # [4, 4] world-from-frame
 
 
 class CameraInterface:
@@ -47,9 +54,41 @@ def from_url(url: str, **kwargs) -> CameraInterface:
         return HDF5Interface(url[len("hdf5://") :], **kwargs)
     if url.startswith("tum://"):
         return TumInterface(url[len("tum://") :], **kwargs)
+    if url.startswith("icl://"):
+        return IclInterface(url[len("icl://") :], **kwargs)
+    if url.startswith("scannet://"):
+        return ScanNetInterface(url[len("scannet://") :], **kwargs)
     if url.startswith("synthetic://"):
         return SyntheticInterface(**kwargs)
     raise ValueError(f"unknown dataset url scheme: {url}")
+
+
+def _load_image(path: str) -> np.ndarray:
+    """[3, H, W] float32 in [0, 1] via PIL (replaces cv::imread)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return img.transpose(2, 0, 1)
+
+
+def _load_depth_png(path: str, scale: float) -> np.ndarray:
+    """16-bit depth PNG -> meters (cv::IMREAD_ANYDEPTH + convertTo)."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path), np.float32) * scale
+
+
+def _quat_to_rot(qx, qy, qz, qw) -> np.ndarray:
+    q = np.array([qx, qy, qz, qw], np.float64)
+    q = q / np.linalg.norm(q)
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
 
 
 class HDF5Interface(CameraInterface):
@@ -158,6 +197,151 @@ class TumInterface(CameraInterface):
         for ts, path in self._list:
             img = np.asarray(Image.open(path), np.float32) / 255.0
             yield FrameRecord(ts, img.transpose(2, 0, 1))
+
+
+class IclInterface(CameraInterface):
+    """ICL-NUIM directory reader (icl_interface.cpp).
+
+    Layout: ``associate.txt`` lines ``dpt_ts dpt_path img_ts img_path``
+    (:114-135), 16-bit depth PNGs at 1/5000 m (:77), optional
+    ``groundtruth.txt`` TUM poses made relative to the first pose
+    (:137-...), fixed ICL intrinsics 481.2/480.0/319.5/239.5 at 640x480
+    (:57-59). The last association is dropped — its pose is always
+    missing (:22-24)."""
+
+    DEPTH_SCALE = 1.0 / 5000.0
+
+    def __init__(self, root: str, stride: int = 1):
+        self.root = root
+        self.stride = stride
+        self._cam = PinholeCamera(
+            fx=481.2, fy=480.0, cx=319.5, cy=239.5, width=640, height=480
+        )
+        self._frames: List[Tuple[float, str, str]] = []
+        with open(os.path.join(root, "associate.txt")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or "#" in line:
+                    continue
+                parts = line.split()
+                # dpt_ts dpt_path img_ts img_path
+                self._frames.append(
+                    (float(parts[2]), parts[3], parts[1])
+                )
+        if self._frames:
+            self._frames.pop()  # last pose always missing (:22-24)
+        self._poses = self._load_poses(os.path.join(root, "groundtruth.txt"))
+
+    @staticmethod
+    def _load_poses(path: str) -> List[np.ndarray]:
+        """TUM-format poses, re-expressed relative to the first pose
+        (AssignPoses, icl_interface.cpp:137-...)."""
+        if not os.path.exists(path):
+            return []
+        raw = []
+        with open(path) as f:
+            for line in f:
+                if "#" in line or not line.strip():
+                    continue
+                v = [float(x) for x in line.split()]
+                # ts tx ty tz qx qy qz qw
+                raw.append((np.array(v[1:4]), _quat_to_rot(*v[4:8])))
+        if not raw:
+            return []
+        t0, r0 = raw[0]
+        out = []
+        for t, r in raw:
+            rel = np.eye(4)
+            rel[:3, :3] = r0.T @ r
+            rel[:3, 3] = r0.T @ (t - t0)
+            out.append(rel)
+        return out
+
+    def intrinsics(self) -> PinholeCamera:
+        return self._cam
+
+    def mask(self) -> np.ndarray:
+        return np.ones((self._cam.height, self._cam.width), np.float32)
+
+    def frames(self) -> Iterator[FrameRecord]:
+        for i in range(0, len(self._frames), self.stride):
+            ts, img_rel, dpt_rel = self._frames[i]
+            yield FrameRecord(
+                ts,
+                _load_image(os.path.join(self.root, img_rel)),
+                depth=_load_depth_png(
+                    os.path.join(self.root, dpt_rel), self.DEPTH_SCALE
+                ),
+                pose_wf=self._poses[i] if i < len(self._poses) else None,
+            )
+
+
+class ScanNetInterface(CameraInterface):
+    """ScanNet sequence reader (scannet_interface.cpp).
+
+    Layout: ``color/<i>.jpg``, ``depth/<i>.png`` (16-bit, 1/1000 m,
+    :122), ``pose/<i>.txt`` (4x4 world-from-frame), ``intrinsic/
+    intrinsic_color.txt`` (4x4 K, :130-150). Images and intrinsics are
+    rescaled to 640x480 like the reference (:67-68); timestamps are the
+    frame indices (:115)."""
+
+    DEPTH_SCALE = 1.0 / 1000.0
+    VIEW_W, VIEW_H = 640, 480
+
+    def __init__(self, root: str, stride: int = 1, resize: bool = True):
+        self.root = root
+        self.stride = stride
+        self.resize = resize
+        color_dir = os.path.join(root, "color")
+        self._n = len(
+            [f for f in os.listdir(color_dir) if f.endswith(".jpg")]
+        )
+        self._has_depth = os.path.isdir(os.path.join(root, "depth"))
+        k = np.loadtxt(
+            os.path.join(root, "intrinsic", "intrinsic_color.txt")
+        ).reshape(4, 4)
+        from PIL import Image
+
+        with Image.open(os.path.join(color_dir, "0.jpg")) as im:
+            w0, h0 = im.size
+        cam = PinholeCamera(
+            fx=float(k[0, 0]), fy=float(k[1, 1]),
+            cx=float(k[0, 2]), cy=float(k[1, 2]), width=w0, height=h0,
+        )
+        self._cam = (
+            cam.resized(self.VIEW_W, self.VIEW_H) if resize else cam
+        )
+
+    def intrinsics(self) -> PinholeCamera:
+        return self._cam
+
+    def mask(self) -> np.ndarray:
+        return np.ones((self._cam.height, self._cam.width), np.float32)
+
+    def frames(self) -> Iterator[FrameRecord]:
+        from PIL import Image
+
+        for i in range(0, self._n, self.stride):
+            path = os.path.join(self.root, "color", f"{i}.jpg")
+            im = Image.open(path).convert("RGB")
+            if self.resize:
+                im = im.resize((self._cam.width, self._cam.height))
+            img = (
+                np.asarray(im, np.float32) / 255.0
+            ).transpose(2, 0, 1)
+            depth = None
+            if self._has_depth:
+                depth = _load_depth_png(
+                    os.path.join(self.root, "depth", f"{i}.png"),
+                    self.DEPTH_SCALE,
+                )
+            pose_path = os.path.join(self.root, "pose", f"{i}.txt")
+            pose = (
+                np.loadtxt(pose_path).reshape(4, 4)
+                if os.path.exists(pose_path)
+                else None
+            )
+            yield FrameRecord(float(i), img, depth=depth, pose_wf=pose)
 
 
 class SyntheticInterface(CameraInterface):
