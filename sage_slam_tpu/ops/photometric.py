@@ -73,6 +73,10 @@ class PhotoShared(NamedTuple):
     packed_feat: jax.Array | None = None  # [4*(C+1), K*Tq]
     dense_fg: tuple = ()  # per dense level: [K, 3C, M_l]
     dense_feat: tuple = ()  # per dense level: [K, C, M_l]
+    # mega tables (interp.build_mega01): levels 0 AND 1 (plus the folded
+    # mask) in ONE gather row — [4*(3C+1)+9*3C, K*R], R = (w0+1)*(h0+1)
+    mega_fg: jax.Array | None = None
+    mega_feat: jax.Array | None = None  # [4*(C+1)+9*C, K*R]
 
 
 # pyramid levels at or below this pixel count are sampled by dense
@@ -135,18 +139,64 @@ def build_photo_tables(
         npx = cam_pyr[lvl].num_pixels
         dense_fg.append(jnp.swapaxes(rows_fg[:, off : off + npx], 1, 2))
         dense_feat.append(jnp.swapaxes(featT[:, off : off + npx], 1, 2))
-    return packed_fg, packed_feat, tuple(dense_fg), tuple(dense_feat)
+
+    mega_fg = mega_feat = None
+    if _mega_ok(cam_pyr):
+        cam0_, cam1_ = cam_pyr[0], cam_pyr[1]
+        off1 = cam_pyr.level_offsets[1]
+        m1 = cam1_.num_pixels
+        l0_fg = jnp.concatenate(
+            [rows_fg[:, :hw], mask_col[:, :hw]], axis=-1
+        )  # [K, M0, 3C+1]
+        l1_fg = rows_fg[:, off1 : off1 + m1]
+        mega_fg = interp.build_mega01(
+            l0_fg, l1_fg, cam0_.width, cam0_.height
+        )
+        l0_f = jnp.concatenate(
+            [featT[:, :hw], mask_col[:, :hw]], axis=-1
+        )
+        l1_f = featT[:, off1 : off1 + m1]
+        mega_feat = interp.build_mega01(
+            l0_f, l1_f, cam0_.width, cam0_.height
+        )
+    return (
+        packed_fg, packed_feat, tuple(dense_fg), tuple(dense_feat),
+        mega_fg, mega_feat,
+    )
+
+
+# Fold levels 0+1 into one wide gather row (interp.build_mega01). OFF by
+# default: measured on a v5e, the 2.5 KB mega rows make the fused gather
+# byte-bound and LOSE ~2x vs two 0.8 KB per-level gathers (the isolated
+# width microbenchmark suggested otherwise — fused gathers run closer to
+# memory bandwidth). Kept as a verified option (tests/test_mega.py) for
+# hardware where gathers are row-count-bound.
+USE_MEGA_TABLES = False
+
+
+def _mega_ok(cam_pyr: CameraPyramid) -> bool:
+    """Mega tables need level 1 at the exact half resolution of level 0
+    (the 3x3-patch containment argument, interp.build_mega01)."""
+    return (
+        USE_MEGA_TABLES
+        and cam_pyr.levels >= 2
+        and cam_pyr[1].width * 2 == cam_pyr[0].width
+        and cam_pyr[1].height * 2 == cam_pyr[0].height
+    )
 
 
 def _tables(shared: PhotoShared, cam_pyr: CameraPyramid):
-    """(packed_fg, packed_feat, dense_fg, dense_feat), built lazily when
-    the shared table fields are unset (tests / standalone use)."""
+    """(packed_fg, packed_feat, dense_fg, dense_feat, mega_fg,
+    mega_feat), built lazily when the shared table fields are unset
+    (tests / standalone use)."""
     if shared.packed_fg is not None:
         return (
             shared.packed_fg,
             shared.packed_feat,
             shared.dense_fg,
             shared.dense_feat,
+            shared.mega_fg,
+            shared.mega_feat,
         )
     return build_photo_tables(
         shared.feat_pyr, shared.grad_pyr, shared.mask_flat, cam_pyr
@@ -191,12 +241,9 @@ def single_frame_shared(
     built lazily inside the factor evaluation."""
     if cam_pyr is None:
         return PhotoShared(bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat)
-    packed_fg, packed_feat, dense_fg, dense_feat = build_photo_tables(
-        feat_pyr, grad_pyr, mask_flat, cam_pyr
-    )
+    tables = build_photo_tables(feat_pyr, grad_pyr, mask_flat, cam_pyr)
     return PhotoShared(
-        bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat,
-        packed_fg, packed_feat, dense_fg, dense_feat,
+        bias_flat, jac_flat, feat_pyr, grad_pyr, mask_flat, *tables
     )
 
 
@@ -228,17 +275,20 @@ def _target_samples_cm(
     packedT: jax.Array,
     dense: tuple,
     c_out: int,
+    mega: jax.Array | None = None,
 ):
     """Sample the target frame at the warped full-res coords for every
     pyramid level, channel-major -> (list of [c_out, N] per level,
     within [N]).
 
-    Level 0 comes from ONE quad-column gather that also yields the folded
-    full-res validity mask (photometric_factor_kernels.cpp:159-166 as a
-    corner select instead of its own gather); the coarsest levels use
-    gather-free MXU hat-matmuls (interp.dense_bilinear_cm); remaining
-    levels use one quad gather each. Tables without the mask column fall
-    back to a separate nearest mask gather."""
+    With a mega table, levels 0 AND 1 (and the folded full-res validity
+    mask, photometric_factor_kernels.cpp:159-166 as a corner select)
+    come from ONE column gather per point (interp.build_mega01);
+    otherwise level 0 comes from one quad gather that also yields the
+    mask. The coarsest levels use gather-free MXU hat-matmuls
+    (interp.dense_bilinear_cm); remaining levels use one quad gather
+    each. Tables without the mask column fall back to a separate nearest
+    mask gather."""
     cam0 = cam_pyr[0]
     cw = packedT.shape[0] // 4
     has_mask = cw == c_out + 1
@@ -248,11 +298,31 @@ def _target_samples_cm(
     qbase = frame * cam_pyr.total_quad_rows
     out = []
     within = None
+    mega_ctx = None
     for lvl in range(cam_pyr.levels):
         cam_l = cam_pyr[lvl]
         ul, vl = interp.level_coords(
             u1, v1, cam_l.fx / cam0.fx, cam_l.fy / cam0.fy
         )
+        if mega is not None and lvl == 0:
+            r = (cam0.width + 1) * (cam0.height + 1)
+            rowv, wts, xc, yc = interp.mega_gather(
+                mega, ul, vl, cam0.width, cam0.height, frame * r
+            )
+            out.append(interp.combine_quad_cm(rowv, wts, c_out, c_out + 1))
+            within = interp.quad_nearest_select_cm(
+                rowv, ul, vl, cam0.width, cam0.height, c_out, c_out + 1
+            )
+            mega_ctx = rowv
+            continue
+        if mega is not None and lvl == 1:
+            out.append(
+                interp.mega_level1(
+                    mega_ctx, ul, vl, cam_l.width, cam_l.height,
+                    c_out + 1, c_out,
+                )
+            )
+            continue
         if lvl >= dense_start:
             rows_cm = jnp.take(dense[lvl - dense_start], frame, axis=0)
             out.append(
@@ -352,10 +422,10 @@ def photometric_error(
         p0, p1, code0, scale0, kf0, shared, cam0, eps
     )
     c = shared.feat_pyr.shape[0]
-    _, packed_feat, _, dense_feat = _tables(shared, cam_pyr)
+    _, packed_feat, _, dense_feat, _, mega_feat = _tables(shared, cam_pyr)
     f1s, within = _target_samples_cm(
         shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_feat,
-        dense_feat, c,
+        dense_feat, c, mega_feat,
     )
     gate = pos * within
 
@@ -456,10 +526,10 @@ def photo_prep(
     )
 
     c = shared.feat_pyr.shape[0]
-    packed_fg, _, dense_fg, _ = _tables(shared, cam_pyr)
+    packed_fg, _, dense_fg, _, mega_fg, _ = _tables(shared, cam_pyr)
     fgs, within = _target_samples_cm(
         shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_fg,
-        dense_fg, 3 * c,
+        dense_fg, 3 * c, mega_fg,
     )
     gate = pos * within  # [N]
 

@@ -49,8 +49,11 @@ class WindowData(NamedTuple):
     # keyframe; prepare_problem hoists these gathers out of the LM loop)
     bias_at: jax.Array | None = None  # [K, N]
     jac_at: jax.Array | None = None  # [K, N, CS]
-    dense_fg: tuple = ()  # per dense level: [K, M_l, 3C]
-    dense_feat: tuple = ()  # per dense level: [K, M_l, C]
+    dense_fg: tuple = ()  # per dense level: [K, 3C, M_l]
+    dense_feat: tuple = ()  # per dense level: [K, C, M_l]
+    # mega level-0+1 gather tables (ops/photometric.build_photo_tables)
+    mega_fg: jax.Array | None = None
+    mega_feat: jax.Array | None = None
 
 
 def prepare_problem(
@@ -62,7 +65,7 @@ def prepare_problem(
     if w.packed_fg is not None:
         return problem
     c = w.feat_pyr.shape[0]
-    packed_fg, packed_feat, dense_fg, dense_feat = (
+    packed_fg, packed_feat, dense_fg, dense_feat, mega_fg, mega_feat = (
         photometric.build_photo_tables(
             w.feat_pyr.reshape(c, -1),
             w.grad_pyr.reshape(2, c, -1),
@@ -82,6 +85,8 @@ def prepare_problem(
             jac_at=jac_at,
             dense_fg=dense_fg,
             dense_feat=dense_feat,
+            mega_fg=mega_fg,
+            mega_feat=mega_feat,
         )
     )
 
@@ -162,6 +167,8 @@ def _photo_inputs(window: WindowData, e: EdgeTable):
         packed_feat=window.packed_feat,
         dense_fg=window.dense_fg,
         dense_feat=window.dense_feat,
+        mega_fg=window.mega_fg,
+        mega_feat=window.mega_feat,
     )
     return kf0, fr1, shared
 

@@ -57,20 +57,24 @@ class TrackerTarget(NamedTuple):
     packed_feat: jax.Array | None = None  # [4*(C+1), Tq]
     dense_fg: tuple = ()  # per dense level: [1, 3C, M_l]
     dense_feat: tuple = ()  # per dense level: [1, C, M_l]
+    mega_fg: jax.Array | None = None  # levels 0+1 in one gather row
+    mega_feat: jax.Array | None = None
 
     def with_packed(self, cam_pyr) -> "TrackerTarget":
         from ..ops.photometric import build_photo_tables
 
         if self.packed_fg is not None:
             return self
-        packed_fg, packed_feat, dense_fg, dense_feat = build_photo_tables(
+        tables = build_photo_tables(
             self.feat_pyr, self.grad_pyr, self.mask_flat, cam_pyr
         )
         return self._replace(
-            packed_fg=packed_fg,
-            packed_feat=packed_feat,
-            dense_fg=dense_fg,
-            dense_feat=dense_feat,
+            packed_fg=tables[0],
+            packed_feat=tables[1],
+            dense_fg=tables[2],
+            dense_feat=tables[3],
+            mega_fg=tables[4],
+            mega_feat=tables[5],
         )
 
     def _tables(self, cam_pyr):
@@ -80,6 +84,8 @@ class TrackerTarget(NamedTuple):
                 self.packed_feat,
                 self.dense_fg,
                 self.dense_feat,
+                self.mega_fg,
+                self.mega_feat,
             )
         from ..ops.photometric import build_photo_tables
 
@@ -131,9 +137,10 @@ def tracker_photo_jac_error(
     v = x1[1] / x1[2] * cam0.fy + cam0.cy
 
     c = target.feat_pyr.shape[0]
-    packed_fg, _, dense_fg, _ = target._tables(cam_pyr)
+    packed_fg, _, dense_fg, _, mega_fg, _ = target._tables(cam_pyr)
     fgs, within = _target_samples_cm(
-        target.mask_flat, cam_pyr, u, v, 0, packed_fg, dense_fg, 3 * c
+        target.mask_flat, cam_pyr, u, v, 0, packed_fg, dense_fg, 3 * c,
+        mega_fg,
     )
     gate = pos * within
     gate2 = gate * gate
@@ -228,9 +235,10 @@ def tracker_photo_error(
     u = x1[0] / x1[2] * cam0.fx + cam0.cx
     v = x1[1] / x1[2] * cam0.fy + cam0.cy
     c = target.feat_pyr.shape[0]
-    _, packed_feat, _, dense_feat = target._tables(cam_pyr)
+    _, packed_feat, _, dense_feat, _, mega_feat = target._tables(cam_pyr)
     f1s, within = _target_samples_cm(
-        target.mask_flat, cam_pyr, u, v, 0, packed_feat, dense_feat, c
+        target.mask_flat, cam_pyr, u, v, 0, packed_feat, dense_feat, c,
+        mega_feat,
     )
     gate = pos * within
     err_total = jnp.zeros((), dtype)
