@@ -65,17 +65,23 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
     )
 
 
-def sharded_run_ba(
-    variables: Variables,
-    problem: ba.BAProblem,
-    cam_pyr: CameraPyramid,
-    cfg,
-    update_mask: jax.Array,
-    mesh: Mesh,
-    max_iters: int = 4,
+# jitted sharded step per (cam_pyr, cfg, mesh, max_iters): without the
+# cache every sharded_run_ba call builds a fresh shard_map closure and a
+# fresh jit wrapper, retracing + recompiling per call (seconds each)
+_STEP_CACHE: dict = {}
+
+
+def make_sharded_step(
+    cam_pyr: CameraPyramid, cfg, mesh: Mesh, max_iters: int
 ):
-    """Run the LM loop with edge-sharded linearization. Returns
-    (variables, error, iterations), replicated."""
+    """Jitted (variables, window, photo_edges, geo_edges, priors,
+    update_mask) -> (variables, error, iterations) for the edge-sharded
+    LM loop, cached so repeated calls reuse the compiled executable
+    (jit then caches per argument shapes)."""
+    key = (cam_pyr, cfg, mesh, max_iters)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     def local_fn(v, window, pe, ge, priors, umask):
         local = ba.BAProblem(window, pe, ge, priors)
@@ -120,14 +126,32 @@ def sharded_run_ba(
             damp_inc=cfg.gn_damp_inc_factor,
         )
 
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P()),
-        out_specs=P(),
-        check_vma=False,
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
     )
-    return jax.jit(fn)(
+    _STEP_CACHE[key] = fn
+    return fn
+
+
+def sharded_run_ba(
+    variables: Variables,
+    problem: ba.BAProblem,
+    cam_pyr: CameraPyramid,
+    cfg,
+    update_mask: jax.Array,
+    mesh: Mesh,
+    max_iters: int = 4,
+):
+    """Run the LM loop with edge-sharded linearization. Returns
+    (variables, error, iterations), replicated."""
+    fn = make_sharded_step(cam_pyr, cfg, mesh, max_iters)
+    return fn(
         variables,
         problem.window,
         problem.photo_edges,
