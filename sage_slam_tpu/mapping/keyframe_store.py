@@ -54,6 +54,14 @@ def _set_ax2_jit(arr, i, val):
 
 
 @jax.jit
+def _set_cols_jit(arr, col, val):
+    """Write a column block val [R, W] into arr [R, K*W] at column `col`."""
+    return jax.lax.dynamic_update_slice(
+        arr, val.astype(arr.dtype), (jnp.asarray(0, col.dtype), col)
+    )
+
+
+@jax.jit
 def _get_ax1_jit(arr, i):
     return jax.lax.dynamic_index_in_dim(arr, i, 1, keepdims=False)
 
@@ -100,6 +108,16 @@ class FrameData:
     pose: SE3
     code: jax.Array  # [CS]
     scale: float
+    # static sampling tables (ops/photometric.build_photo_tables on the
+    # single frame), computed inside the jitted BuildFrame so mapping
+    # steps never rebuild per-window tables (their build over the whole
+    # window dominated the mapping tick)
+    packed_fg: Optional[jax.Array] = None  # [4*(3C+1), Tq]
+    packed_feat: Optional[jax.Array] = None  # [4*(C+1), Tq]
+    dense_fg: tuple = ()  # per dense level: [1, 3C, M_l]
+    dense_feat: tuple = ()
+    bias_at: Optional[jax.Array] = None  # [N]
+    jac_at: Optional[jax.Array] = None  # [N, CS]
 
 
 class KeyframeStore:
@@ -133,6 +151,14 @@ class KeyframeStore:
         self.grad_pyr = jnp.zeros((2, fs, k, total_pyr), dtype)
         self.feat_desc = jnp.zeros((k, hw, fs), dtype)
         self.avg_sq_bias = jnp.zeros((k,), dtype)
+        # static sampling tables, lazily allocated from the first added
+        # frame's table shapes (see FrameData)
+        self.packed_fg: Optional[jax.Array] = None  # [4*(3C+1), K*Tq]
+        self.packed_feat: Optional[jax.Array] = None  # [4*(C+1), K*Tqf]
+        self.dense_fg: tuple = ()
+        self.dense_feat: tuple = ()
+        self.bias_at: Optional[jax.Array] = None  # [K, N]
+        self.jac_at: Optional[jax.Array] = None  # [K, N, CS]
         # host-side metadata
         self.timestamps: List[float] = []
         self.reinitialize_count = np.zeros(k, np.int32)
@@ -171,6 +197,51 @@ class KeyframeStore:
         self.avg_sq_bias = set_row(
             self.avg_sq_bias, i, jnp.asarray(fr.avg_sq_bias)
         )
+        if fr.packed_fg is not None:
+            k = self.capacity
+            if self.packed_fg is None:
+                self.packed_fg = jnp.zeros(
+                    (fr.packed_fg.shape[0], k * fr.packed_fg.shape[1]),
+                    fr.packed_fg.dtype,
+                )
+                self.packed_feat = jnp.zeros(
+                    (fr.packed_feat.shape[0], k * fr.packed_feat.shape[1]),
+                    fr.packed_feat.dtype,
+                )
+                self.dense_fg = tuple(
+                    jnp.zeros((k,) + d.shape[1:], d.dtype)
+                    for d in fr.dense_fg
+                )
+                self.dense_feat = tuple(
+                    jnp.zeros((k,) + d.shape[1:], d.dtype)
+                    for d in fr.dense_feat
+                )
+                self.bias_at = jnp.zeros(
+                    (k,) + fr.bias_at.shape, fr.bias_at.dtype
+                )
+                self.jac_at = jnp.zeros(
+                    (k,) + fr.jac_at.shape, fr.jac_at.dtype
+                )
+            tq = self.packed_fg.shape[1] // k
+            tqf = self.packed_feat.shape[1] // k
+            self.packed_fg = _set_cols_jit(
+                self.packed_fg, jnp.asarray(i * tq, jnp.int32), fr.packed_fg
+            )
+            self.packed_feat = _set_cols_jit(
+                self.packed_feat,
+                jnp.asarray(i * tqf, jnp.int32),
+                fr.packed_feat,
+            )
+            self.dense_fg = tuple(
+                set_row(big, i, small[0])
+                for big, small in zip(self.dense_fg, fr.dense_fg)
+            )
+            self.dense_feat = tuple(
+                set_row(big, i, small[0])
+                for big, small in zip(self.dense_feat, fr.dense_feat)
+            )
+            self.bias_at = set_row(self.bias_at, i, fr.bias_at)
+            self.jac_at = set_row(self.jac_at, i, fr.jac_at)
         self.timestamps.append(fr.timestamp)
         self.links[i] = set()
         self.num_active += 1
@@ -207,6 +278,12 @@ class KeyframeStore:
             src_feats=self.src_feats,
             avg_sq_bias=self.avg_sq_bias,
             mask_flat=mask_flat,
+            packed_fg=self.packed_fg,
+            packed_feat=self.packed_feat,
+            bias_at=self.bias_at,
+            jac_at=self.jac_at,
+            dense_fg=self.dense_fg,
+            dense_feat=self.dense_feat,
         )
 
     def set_variables(self, variables: Variables, skip_reinitialized=True):

@@ -126,9 +126,17 @@ class Mapper:
         avg_sq = jnp.sum((bias_flat * self.mask_flat) ** 2) / jnp.sum(
             self.mask_flat
         )
+        from ..ops import photometric as photo_ops
         from ..tracker.tracker import _sample_source_features
 
         src_feats = _sample_source_features(feat_pyr, loc1d, self.cam_pyr)
+        # static sampling tables, built ONCE per frame here instead of
+        # over the whole window every mapping step
+        tables = photo_ops.build_photo_tables(
+            feat_pyr, grad_pyr, self.mask_flat, self.cam_pyr
+        )
+        bias_at = jnp.take(bias_flat, loc1d)
+        jac_at = jnp.take(jac_flat, loc1d, axis=0)
         c = fdesc.shape[0]
         return (
             bias_flat,
@@ -140,6 +148,9 @@ class Mapper:
             loc1d,
             homo,
             avg_sq,
+            tables,
+            bias_at,
+            jac_at,
         )
 
     def build_frame(
@@ -148,8 +159,9 @@ class Mapper:
         key = jax.random.key(int(timestamp * 1e6) & 0x7FFFFFFF)
         (
             bias_flat, jac_flat, feat_pyr, grad_pyr, desc, src_feats, loc1d,
-            homo, avg_sq
+            homo, avg_sq, tables, bias_at, jac_at
         ) = self._build_frame_jit(image, key)
+        packed_fg, packed_feat, dense_fg, dense_feat, _, _ = tables
         return FrameData(
             timestamp=timestamp,
             bias_flat=bias_flat,
@@ -164,6 +176,12 @@ class Mapper:
             pose=pose if pose is not None else SE3.identity(),
             code=jnp.zeros(self.cfg.code_size),
             scale=1.0,
+            packed_fg=packed_fg,
+            packed_feat=packed_feat,
+            dense_fg=dense_fg,
+            dense_feat=dense_feat,
+            bias_at=bias_at,
+            jac_at=jac_at,
         )
 
     # ------------------------------------------------------------------
@@ -377,10 +395,13 @@ class Mapper:
         )
         return ba.BAProblem(
             window=self.store.window_data(self.mask_flat),
-            photo_edges=self._edge_table(self.photo_edges, 16),
-            geo_edges=self._edge_table(self.geo_edges, 16),
+            # bucket bases sized so a typical run compiles the BA step
+            # only once or twice per factor type (each remote TPU compile
+            # costs tens of seconds; memory for the padding is trivial)
+            photo_edges=self._edge_table(self.photo_edges, 128),
+            geo_edges=self._edge_table(self.geo_edges, 128),
             priors=priors,
-            reproj_edges=self._reproj_table(4),
+            reproj_edges=self._reproj_table(32),
         )
 
     def mapping_step_sharded(
@@ -424,35 +445,48 @@ class Mapper:
             return 0.0
         problem = self.build_problem()
         k = self.store.capacity
-        active = np.zeros(k, np.float32)
+        # size the solve to a geometric bucket of the ACTIVE keyframe
+        # count (not store capacity): linearization, the per-iteration
+        # geometric table build and the dense solve all scale with kb,
+        # and the bucket keeps recompiles to O(log K)
+        kb = min(k, _round_up(self.store.num_active, 8))
+        active = np.zeros(kb, np.float32)
         w = self.cfg.mapper.window_size
         lo = max(0, self.store.num_active - w)
         active[lo : self.store.num_active] = 1.0
         # keyframes reinitialized by a loop closure are frozen for BA until
         # the loop values are absorbed (df_work.cpp:62-69 analog)
-        active[self.store.reinitialize_count > 0] = 0.0
+        active[self.store.reinitialize_count[:kb] > 0] = 0.0
         update_mask = jnp.asarray(active)
 
         shapes = (
             problem.photo_edges.i0.shape[0],
             problem.geo_edges.i0.shape[0],
             problem.reproj_edges.i0.shape[0],
+            kb,
         )
         fn = self._ba_cache.get(shapes)
         if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    ba.run_ba,
-                    cam_pyr=self.cam_pyr,
-                    cfg=self.cfg.mapper,
+
+            def _step(variables, prob, update_mask, max_iters, kb=kb):
+                sliced = ba.slice_problem_keyframes(prob, kb, self.cam_pyr)
+                v_kb = jax.tree.map(lambda x: x[:kb], variables)
+                vs, err, iters = ba.run_ba(
+                    v_kb, sliced, self.cam_pyr, self.cfg.mapper,
+                    update_mask, max_iters,
                 )
-            )
+                v_full = jax.tree.map(
+                    lambda full, part: full.at[:kb].set(part), variables, vs
+                )
+                return v_full, err, iters
+
+            fn = jax.jit(_step)
             self._ba_cache[shapes] = fn
         variables, err, iters = fn(
             self.store.variables,
             problem,
-            update_mask=update_mask,
-            max_iters=max_iters or self.cfg.mapper.max_gn_iters,
+            update_mask,
+            max_iters or self.cfg.mapper.max_gn_iters,
         )
         self.store.set_variables(variables)
         # loop-closure reconciliation: once a reinitialized keyframe has

@@ -91,6 +91,52 @@ def prepare_problem(
     )
 
 
+def slice_problem_keyframes(
+    problem: "BAProblem", kb: int, cam_pyr: CameraPyramid
+) -> "BAProblem":
+    """Restrict a full-capacity problem to its first ``kb`` keyframes
+    (static kb). Edge tables are untouched — every edge index must be
+    < kb. Run inside jit so the slices fuse instead of copying: sizing
+    the BA step to a geometric bucket of the ACTIVE keyframe count makes
+    linearization (and the per-iteration geometric frame-1 table build)
+    scale with the real map instead of the store capacity."""
+    w = problem.window
+    tq = cam_pyr.total_quad_rows
+
+    def cut_cols(t):
+        return None if t is None else t[:, : kb * tq]
+
+    window = w._replace(
+        loc1d=w.loc1d[:kb],
+        homo=w.homo[:kb],
+        bias_flat=w.bias_flat[:kb],
+        jac_flat=w.jac_flat[:kb],
+        feat_pyr=w.feat_pyr[:, :kb],
+        grad_pyr=w.grad_pyr[:, :, :kb],
+        src_feats=w.src_feats[:kb],
+        avg_sq_bias=w.avg_sq_bias[:kb],
+        packed_fg=cut_cols(w.packed_fg),
+        packed_feat=cut_cols(w.packed_feat),
+        bias_at=None if w.bias_at is None else w.bias_at[:kb],
+        jac_at=None if w.jac_at is None else w.jac_at[:kb],
+        dense_fg=tuple(d[:kb] for d in w.dense_fg),
+        dense_feat=tuple(d[:kb] for d in w.dense_feat),
+        mega_fg=None,
+        mega_feat=None,
+    )
+    pr = problem.priors
+    priors = PriorTable(
+        code_valid=pr.code_valid[:kb],
+        scale_valid=pr.scale_valid[:kb],
+        scale_init=pr.scale_init[:kb],
+        pose_valid=pr.pose_valid[:kb],
+        pose_target=SE3(
+            pr.pose_target.rot[:kb], pr.pose_target.trans[:kb]
+        ),
+    )
+    return problem._replace(window=window, priors=priors)
+
+
 class EdgeTable(NamedTuple):
     """Directed factor edges kf[i0] -> frame[i1], padded with valid=0."""
 
