@@ -154,10 +154,16 @@ class SlamSystem:
         )
 
     def _target(self, fr: FrameData) -> TrackerTarget:
+        # reuse the static sampling tables BuildFrame already computed —
+        # otherwise lm_track rebuilds them inside its jit every frame
         return TrackerTarget(
             feat_pyr=fr.feat_pyr,
             grad_pyr=fr.grad_pyr,
             mask_flat=self.mapper.mask_flat,
+            packed_fg=fr.packed_fg,
+            packed_feat=fr.packed_feat,
+            dense_fg=fr.dense_fg,
+            dense_feat=fr.dense_feat,
         )
 
     def _match_geo(self, kf_id: int, fr: FrameData):
