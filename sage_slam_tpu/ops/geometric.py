@@ -76,36 +76,50 @@ def build_frame1_tables(
     scales: jax.Array,  # [K]
     cam: PinholeCamera,
     mask_flat: jax.Array | None = None,  # [HW] full-res validity mask
+    which: str = "both",  # "both" | "full" | "dpt"
 ):
     """Quad-packed per-keyframe frame-1 tables for the CURRENT variables:
-    (packed_full [K*R, 4*(3+CS[+1])] holding [scaled depth | scaled grad
-    (2) | raw code jacobian [| mask]], packed_dpt [K*R, 4*(1[+1])] scaled
-    depth [+ mask]). With mask_flat given, each corner carries the
-    validity mask as its last column so the nearest mask lookup rides the
-    quad gather (interp.quad_nearest_select)."""
+    (packed_full [4*(3+CS[+1]), K*R] holding [scaled depth | scaled grad
+    (2) | raw code jacobian [| mask]], packed_dpt [4*(1[+1]), K*R] scaled
+    depth [+ mask]), TRANSPOSED (channel-major). With mask_flat given,
+    each corner carries the validity mask as its last column so the
+    nearest mask lookup rides the quad gather
+    (interp.quad_nearest_select_cm).
+
+    ``which`` skips the unused table: the linearize path consumes only
+    packed_full, the error-only path only packed_dpt — and these tables
+    depend on (code, scale), i.e. they are rebuilt every LM iteration."""
     from .pyramid import spatial_grad
 
     k, hw = bias.shape
     h, w = cam.height, cam.width
     unscaled = bias + jnp.einsum("khc,kc->kh", jac, codes)  # [K, HW]
-    grad = spatial_grad(unscaled.reshape(k, h, w))  # [2, K, H, W]
     dpt = scales[:, None] * unscaled  # [K, HW]
-    grad_rows = (
-        scales[None, :, None] * grad.reshape(2, k, hw)
-    ).transpose(1, 2, 0)  # [K, HW, 2]
-    rows = jnp.concatenate([dpt[..., None], grad_rows, jac], axis=-1)
-    dpt_rows = dpt[..., None]
-    if mask_flat is not None:
-        mask_col = jnp.broadcast_to(mask_flat[None, :, None], (k, hw, 1))
-        rows = jnp.concatenate([rows, mask_col], axis=-1)
-        dpt_rows = jnp.concatenate([dpt_rows, mask_col], axis=-1)
-    # TRANSPOSED (channel-major) for interp.quad_gather_cols
-    packed_full = interp.pack_quads_level(rows, w).reshape(
-        k * (hw + w + 1), -1
-    ).T
-    packed_dpt = interp.pack_quads_level(dpt_rows, w).reshape(
-        k * (hw + w + 1), -1
-    ).T
+    mask_col = (
+        None
+        if mask_flat is None
+        else jnp.broadcast_to(mask_flat[None, :, None], (k, hw, 1))
+    )
+
+    packed_full = packed_dpt = None
+    if which in ("both", "full"):
+        grad = spatial_grad(unscaled.reshape(k, h, w))  # [2, K, H, W]
+        grad_rows = (
+            scales[None, :, None] * grad.reshape(2, k, hw)
+        ).transpose(1, 2, 0)  # [K, HW, 2]
+        rows = jnp.concatenate([dpt[..., None], grad_rows, jac], axis=-1)
+        if mask_col is not None:
+            rows = jnp.concatenate([rows, mask_col], axis=-1)
+        packed_full = interp.pack_quads_level(rows, w).reshape(
+            k * (hw + w + 1), -1
+        ).T
+    if which in ("both", "dpt"):
+        dpt_rows = dpt[..., None]
+        if mask_col is not None:
+            dpt_rows = jnp.concatenate([dpt_rows, mask_col], axis=-1)
+        packed_dpt = interp.pack_quads_level(dpt_rows, w).reshape(
+            k * (hw + w + 1), -1
+        ).T
     return packed_full, packed_dpt
 
 

@@ -220,7 +220,8 @@ def _photo_inputs(window: WindowData, e: EdgeTable):
 
 
 def _geo_inputs(
-    window: WindowData, e: EdgeTable, variables: Variables, cam
+    window: WindowData, e: EdgeTable, variables: Variables, cam,
+    which: str = "both",
 ):
     hw = window.bias_flat.shape[-1]
     cs = window.jac_flat.shape[-1]
@@ -237,6 +238,7 @@ def _geo_inputs(
     packed_full, packed_dpt = geometric.build_frame1_tables(
         window.bias_flat, window.jac_flat,
         variables.code, variables.scale, cam, window.mask_flat,
+        which=which,
     )
     shared = geometric.GeoShared(
         bias_flat=window.bias_flat.reshape(-1),
@@ -342,7 +344,9 @@ def linearize(
     # ---- geometric edges: vars (p0, p1, c0, c1, s0, s1), dim 14+2CS ----
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1, gshared = _geo_inputs(problem.window, ge, variables, cam_pyr[0])
+        kf0, kf1, gshared = _geo_inputs(
+            problem.window, ge, variables, cam_pyr[0], which="full"
+        )
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
@@ -484,7 +488,9 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
 
     ge = problem.geo_edges
     if ge.i0.shape[0] > 0:
-        kf0, kf1, gshared = _geo_inputs(problem.window, ge, variables, cam_pyr[0])
+        kf0, kf1, gshared = _geo_inputs(
+            problem.window, ge, variables, cam_pyr[0], which="dpt"
+        )
         loss_param = cfg.geo_loss_param_factor * problem.window.avg_sq_bias[
             ge.i0
         ]
