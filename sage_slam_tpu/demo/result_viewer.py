@@ -12,6 +12,11 @@ import numpy as np
 
 
 def main(argv=None):
+    # crash diagnostics (demo/main.cpp:34-124 analog)
+    import faulthandler
+
+    faulthandler.enable()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("trajectory", help="TUM trajectory file")
     p.add_argument("--ground_truth", default=None)

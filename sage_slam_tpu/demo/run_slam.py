@@ -21,6 +21,12 @@ import numpy as np
 
 
 def main(argv=None):
+    # crash diagnostics with native backtraces (the reference
+    # installs SIGSEGV/SIGABRT handlers, demo/main.cpp:34-124)
+    import faulthandler
+
+    faulthandler.enable()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source_url", default="synthetic://")
     p.add_argument("--config", default=None, help="SlamConfig json")

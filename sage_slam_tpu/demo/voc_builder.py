@@ -13,6 +13,11 @@ import numpy as np
 
 
 def main(argv=None):
+    # crash diagnostics (demo/main.cpp:34-124 analog)
+    import faulthandler
+
+    faulthandler.enable()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source_url", default="synthetic://")
     p.add_argument("--output", default="/tmp/bow_voc.npz")
