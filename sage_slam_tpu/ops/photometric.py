@@ -80,17 +80,21 @@ class PhotoShared(NamedTuple):
 
 
 # pyramid levels at or below this pixel count are sampled by dense
-# hat-weight matmuls instead of gathers (see interp.dense_bilinear)
+# hat-weight matmuls instead of gathers (see interp.dense_bilinear_cm).
+# Measured on a v5e: profitable for levels 2-3 (320 / 80 px) and a loss
+# for level 1 (1280 px) in BOTH the 3C-wide jac path and the C-wide error
+# path (the f32-exact HIGHEST-precision matmul costs 6 MXU passes).
 DENSE_MAX_PIXELS = 512
+DENSE_MAX_PIXELS_FEAT = 512
 
 
-def dense_levels(cam_pyr: CameraPyramid):
+def dense_levels(cam_pyr: CameraPyramid, max_pixels: int = DENSE_MAX_PIXELS):
     """Suffix of pyramid levels sampled densely (never level 0, which
     carries the folded mask column)."""
     return [
         lvl
         for lvl in range(1, cam_pyr.levels)
-        if cam_pyr[lvl].num_pixels <= DENSE_MAX_PIXELS
+        if cam_pyr[lvl].num_pixels <= max_pixels
     ]
 
 
@@ -138,6 +142,9 @@ def build_photo_tables(
         off = cam_pyr.level_offsets[lvl]
         npx = cam_pyr[lvl].num_pixels
         dense_fg.append(jnp.swapaxes(rows_fg[:, off : off + npx], 1, 2))
+    for lvl in dense_levels(cam_pyr, DENSE_MAX_PIXELS_FEAT):
+        off = cam_pyr.level_offsets[lvl]
+        npx = cam_pyr[lvl].num_pixels
         dense_feat.append(jnp.swapaxes(featT[:, off : off + npx], 1, 2))
 
     mega_fg = mega_feat = None
