@@ -219,6 +219,18 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
 
+    def _reexpress_pose_ck(self, world_pose_guess: SE3, kf_id: int) -> SE3:
+        """Re-express the camera-from-keyframe pose w.r.t. a new reference
+        keyframe (deepfactors.cpp:1989-2017).
+
+        The invariant maintained by tracking is
+        ``world_pose_guess == pose(kf_id) ∘ inverse(pose_ck)``, so the new
+        relative pose is ``pose_ck = inverse(world_pose_guess) ∘ pose(kf_id)``.
+        """
+        return se3m.compose(
+            se3m.inverse(world_pose_guess), self.store.pose(kf_id)
+        )
+
     def process_frame(self, timestamp: float, image: jax.Array) -> FrameResult:
         """ProcessFrame (deepfactors.cpp:1574-1713)."""
         assert self.store.num_active > 0, "call bootstrap() first"
@@ -229,11 +241,7 @@ class SlamSystem:
         )
         kf_id = self.select_keyframe(world_pose_guess)
         if kf_id != self.curr_kf:
-            # re-express the relative pose w.r.t. the new reference
-            self.pose_ck = se3m.compose(
-                se3m.inverse(world_pose_guess), self.store.pose(kf_id)
-            )
-            self.pose_ck = se3m.inverse(self.pose_ck)
+            self.pose_ck = self._reexpress_pose_ck(world_pose_guess, kf_id)
             self.curr_kf = kf_id
 
         ref = self._tracker_ref(self.curr_kf)

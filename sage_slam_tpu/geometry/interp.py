@@ -240,6 +240,11 @@ def quad_nearest_select_cm(
     ``round()`` (half-away-from-zero for positive pixel coords);
     ``nearest_flat`` uses jnp.round (half-to-even) — they differ only at
     exact .5 fractions, a measure-zero set for warped coordinates."""
+    # _pin the coordinates exactly like the quad gather that produced
+    # rowv did — otherwise XLA fusion duplication can recompute floor()
+    # from un-pinned values and, at knife-edge coordinates, select a
+    # corner inconsistent with the gathered anchor.
+    x, y = _pin(x, y)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     ex = (x - x0f) >= 0.5

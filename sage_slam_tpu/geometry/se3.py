@@ -25,6 +25,19 @@ import jax.numpy as jnp
 
 _THETA_MIN = 1.0e-14
 
+# 3x3 pose-chain products are negligible FLOPs but their error compounds
+# over long keyframe chains; TPU default matmul precision is bfloat16
+# (~1e-3 relative), so pin these tiny contractions to full float32.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _rotv(rot, v):
+    return jnp.einsum("...ij,...j->...i", rot, v, precision=_PREC)
+
 
 class SE3(NamedTuple):
     """A rigid transform: x_out = rot @ x + trans."""
@@ -91,7 +104,7 @@ def so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues: matches the reference exp (gtsam_traits.h:107-137)."""
     a, b, _ = _exp_coefficients(omega)
     k = hat(omega)
-    k2 = k @ k
+    k2 = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), k.shape)
     return eye + a[..., None, None] * k + b[..., None, None] * k2
 
@@ -101,11 +114,11 @@ def se3_exp(tau: jax.Array) -> SE3:
     v, omega = tau[..., :3], tau[..., 3:6]
     a, b, c = _exp_coefficients(omega)
     k = hat(omega)
-    k2 = k @ k
+    k2 = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), k.shape)
     rot = eye + a[..., None, None] * k + b[..., None, None] * k2
     big_v = eye + b[..., None, None] * k + c[..., None, None] * k2
-    trans = jnp.einsum("...ij,...j->...i", big_v, v)
+    trans = _rotv(big_v, v)
     return SE3(rot, trans)
 
 
@@ -177,26 +190,26 @@ def so3_log(rot: jax.Array) -> jax.Array:
 
 def compose(a: SE3, b: SE3) -> SE3:
     """a * b (apply b first, then a)."""
-    rot = a.rot @ b.rot
-    trans = jnp.einsum("...ij,...j->...i", a.rot, b.trans) + a.trans
+    rot = _mm(a.rot, b.rot)
+    trans = _rotv(a.rot, b.trans) + a.trans
     return SE3(rot, trans)
 
 
 def inverse(p: SE3) -> SE3:
     rot_t = jnp.swapaxes(p.rot, -1, -2)
-    return SE3(rot_t, -jnp.einsum("...ij,...j->...i", rot_t, p.trans))
+    return SE3(rot_t, -_rotv(rot_t, p.trans))
 
 
 def act(p: SE3, x: jax.Array) -> jax.Array:
     """Apply transform to points [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", p.rot, x) + p.trans
+    return _rotv(p.rot, x) + p.trans
 
 
 def retract(p: SE3, delta: jax.Array) -> SE3:
     """Left-multiplicative retract: Exp(delta) * p (gtsam_traits.h:45-70)."""
     d = se3_exp(delta)
-    rot = d.rot @ p.rot
-    trans = jnp.einsum("...ij,...j->...i", d.rot, p.trans) + d.trans
+    rot = _mm(d.rot, p.rot)
+    trans = _rotv(d.rot, p.trans) + d.trans
     return SE3(rot, trans)
 
 
@@ -208,8 +221,8 @@ def local(origin: SE3, other: SE3) -> jax.Array:
     Note: NOT the exact inverse of `retract` for large rotations — the
     reference keeps this asymmetry and so do we.
     """
-    rel_rot = other.rot @ jnp.swapaxes(origin.rot, -1, -2)
-    t = other.trans - jnp.einsum("...ij,...j->...i", rel_rot, origin.trans)
+    rel_rot = _mm(other.rot, jnp.swapaxes(origin.rot, -1, -2))
+    t = other.trans - _rotv(rel_rot, origin.trans)
     return jnp.concatenate([t, so3_log(rel_rot)], axis=-1)
 
 
@@ -242,7 +255,7 @@ def se3_log(p: SE3) -> jax.Array:
     omega = so3_log(p.rot)
     theta = jnp.linalg.norm(omega, axis=-1)
     k = hat(omega)
-    k2 = k @ k
+    k2 = _mm(k, k)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=p.rot.dtype), p.rot.shape)
     theta_sq = theta**2
     small = theta < 1e-5
@@ -257,5 +270,5 @@ def se3_log(p: SE3) -> jax.Array:
         / safe_theta_sq,
     )
     v_inv = eye - 0.5 * k + coef[..., None, None] * k2
-    v = jnp.einsum("...ij,...j->...i", v_inv, p.trans)
+    v = _rotv(v_inv, p.trans)
     return jnp.concatenate([v, omega], axis=-1)

@@ -10,9 +10,9 @@ URL-prefix factory like CameraInterfaceFactory (camera_interface_factory.cpp):
                      scannet_interface.cpp)
   synthetic://    -> procedurally rendered test sequence
 
-h5py is not available in this environment; the HDF5 reader degrades to a
-clear error message if the dependency is missing (stubbed per the build
-rules), while the other readers are pure numpy/PIL.
+The HDF5 reader uses h5py when present and degrades to a clear error
+message pointing at NpzInterface if the dependency is missing; the other
+readers are pure numpy/PIL.
 """
 
 from __future__ import annotations
@@ -249,12 +249,17 @@ class IclInterface(CameraInterface):
         if not raw:
             return []
         t0, r0 = raw[0]
+        # "fix ICL-NUIM pose issues" (icl_interface.cpp AssignPoses):
+        # relPose = (Sy * rel^-1 * Sy)^-1 with Sy = diag(1,-1,1,1), which
+        # simplifies to Sy @ rel @ Sy since Sy is involutive — ICL ground
+        # truth uses a y-down convention that must be conjugated away.
+        sy = np.diag([1.0, -1.0, 1.0, 1.0])
         out = []
         for t, r in raw:
             rel = np.eye(4)
             rel[:3, :3] = r0.T @ r
             rel[:3, 3] = r0.T @ (t - t0)
-            out.append(rel)
+            out.append(sy @ rel @ sy)
         return out
 
     def intrinsics(self) -> PinholeCamera:
@@ -321,6 +326,10 @@ class ScanNetInterface(CameraInterface):
     def frames(self) -> Iterator[FrameRecord]:
         from PIL import Image
 
+        # scannet_interface.cpp LoadPoses: poses are returned relative to
+        # the first (finite) pose, and non-finite poses — which ScanNet
+        # pose files routinely contain (-inf rows) — are dropped.
+        first_inv = None
         for i in range(0, self._n, self.stride):
             path = os.path.join(self.root, "color", f"{i}.jpg")
             im = Image.open(path).convert("RGB")
@@ -341,6 +350,12 @@ class ScanNetInterface(CameraInterface):
                 if os.path.exists(pose_path)
                 else None
             )
+            if pose is not None and not np.isfinite(pose).all():
+                pose = None
+            if pose is not None:
+                if first_inv is None:
+                    first_inv = np.linalg.inv(pose)
+                pose = first_inv @ pose
             yield FrameRecord(float(i), img, depth=depth, pose_wf=pose)
 
 

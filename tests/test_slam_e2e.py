@@ -110,6 +110,56 @@ def test_slam_creates_keyframes_under_motion():
     assert any(system.store.connections(i) for i in range(system.store.num_active))
 
 
+def test_keyframe_switch_pose_reexpression():
+    """Regression for the pose_ck double-inversion bug (round-1 verdict #1).
+
+    When select_keyframe switches reference keyframes, the re-expressed
+    camera-from-keyframe pose must satisfy
+    ``pose(kf_new) ∘ inverse(pose_ck) == world_pose_guess``
+    (deepfactors.cpp:1989-2017). The old code returned the inverse of the
+    correct value, so the reconstructed frame pose was wrong by O(1).
+    """
+    from sage_slam_tpu.geometry import se3 as se3m
+    from sage_slam_tpu.geometry.se3 import se3_exp
+
+    system, data = tiny_system(num_frames=4)
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+    # add a second keyframe via the normal path
+    system.force_keyframe = True
+    system.process_frame(frames[1].timestamp, jnp.asarray(frames[1].image))
+    assert system.store.num_active >= 2
+
+    # give the two keyframes distinct, non-trivial poses
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        p = se3_exp(jnp.asarray(rng.standard_normal(6) * 0.5, jnp.float32))
+        from sage_slam_tpu.mapping.keyframe_store import set_row
+        from sage_slam_tpu.solver.graph import Variables
+        from sage_slam_tpu.geometry.se3 import SE3
+
+        v = system.store.variables
+        system.store.variables = Variables(
+            pose=SE3(
+                set_row(v.pose.rot, i, p.rot),
+                set_row(v.pose.trans, i, p.trans),
+            ),
+            code=v.code,
+            scale=v.scale,
+        )
+
+    wpg = se3_exp(jnp.asarray(rng.standard_normal(6) * 0.3, jnp.float32))
+    for kf_id in (0, 1):
+        pose_ck = system._reexpress_pose_ck(wpg, kf_id)
+        recon = se3m.compose(system.store.pose(kf_id), se3m.inverse(pose_ck))
+        np.testing.assert_allclose(
+            np.array(recon.rot), np.array(wpg.rot), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.array(recon.trans), np.array(wpg.trans), atol=1e-5
+        )
+
+
 def test_tum_roundtrip(tmp_path):
     from sage_slam_tpu.geometry.se3 import se3_exp
 
