@@ -43,25 +43,65 @@ def pad_edges(e: ba.EdgeTable, multiple: int) -> ba.EdgeTable:
     )
 
 
-def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
-    """Pad + place edge tables on the mesh; window/priors replicated."""
+def pad_reproj_edges(
+    e: ba.ReprojEdgeTable, multiple: int
+) -> ba.ReprojEdgeTable:
+    """Pad a reprojection edge table (with its per-edge match arrays) so
+    its length divides the mesh axis size. Padding rows have valid=0."""
+    n = e.i0.shape[0]
+    target = -(-n // multiple) * multiple
+    pad = target - n
+    if pad == 0:
+        return e
+    pad0 = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return jax.tree.map(pad0, e)
+
+
+def shard_problem(
+    problem: ba.BAProblem, mesh: Mesh, reproj_matches: int = 8
+) -> ba.BAProblem:
+    """Pad + place edge tables on the mesh; window/priors replicated.
+
+    All three factor families — photometric, geometric AND reprojection —
+    are edge-sharded so the multi-chip step optimizes the identical cost
+    to the single-device mapping_step (global loop closures add
+    reprojection edges via enqueue_link, mapper.py). A missing/empty
+    reprojection table becomes an all-invalid table of one edge per
+    device so the sharded program has a static shape."""
     n = mesh.shape[AXIS]
     sharded = NamedSharding(mesh, P(AXIS))
     replicated = NamedSharding(mesh, P())
 
-    def place_edges(e):
-        e = pad_edges(e, n)
-        return jax.tree.map(lambda x: jax.device_put(x, sharded), e)
+    def place(x):
+        return jax.tree.map(lambda a: jax.device_put(a, sharded), x)
+
+    re = problem.reproj_edges
+    if re is None or re.i0.shape[0] == 0:
+        m = re.loc1d_0.shape[1] if re is not None else reproj_matches
+        dtype = problem.window.bias_flat.dtype
+        re = ba.ReprojEdgeTable(
+            i0=jnp.zeros(n, jnp.int32),
+            i1=jnp.zeros(n, jnp.int32),
+            valid=jnp.zeros(n, dtype),
+            loc1d_0=jnp.zeros((n, m), jnp.int32),
+            homo_0=jnp.zeros((n, m, 3), dtype).at[..., 2].set(1.0),
+            matched_2d_1=jnp.zeros((n, m, 2), dtype),
+            match_valid=jnp.zeros((n, m), dtype),
+            weight=jnp.zeros(n, dtype),
+        )
+    else:
+        re = pad_reproj_edges(re, n)
 
     return ba.BAProblem(
         window=jax.tree.map(
             lambda x: jax.device_put(x, replicated), problem.window
         ),
-        photo_edges=place_edges(problem.photo_edges),
-        geo_edges=place_edges(problem.geo_edges),
+        photo_edges=place(pad_edges(problem.photo_edges, n)),
+        geo_edges=place(pad_edges(problem.geo_edges, n)),
         priors=jax.tree.map(
             lambda x: jax.device_put(x, replicated), problem.priors
         ),
+        reproj_edges=place(re),
     )
 
 
@@ -83,8 +123,7 @@ def make_sharded_step(
     if hit is not None:
         return hit
 
-    def local_fn(v, window, pe, ge, priors, umask):
-        local = ba.BAProblem(window, pe, ge, priors)
+    def local_fn(v, window, pe, ge, re, priors, umask):
         me = jax.lax.axis_index(AXIS)
         # priors must be counted once: gate them to device 0's partial
         gate = (me == 0).astype(v.scale.dtype)
@@ -97,7 +136,7 @@ def make_sharded_step(
         )
         # build quad-packed gather tables once, outside the LM while_loop
         gated = ba.prepare_problem(
-            ba.BAProblem(window, pe, ge, gated_priors), cam_pyr
+            ba.BAProblem(window, pe, ge, gated_priors, re), cam_pyr
         )
 
         def linearize_fn(vv):
@@ -130,7 +169,7 @@ def make_sharded_step(
         jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P()),
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -151,11 +190,16 @@ def sharded_run_ba(
     """Run the LM loop with edge-sharded linearization. Returns
     (variables, error, iterations), replicated."""
     fn = make_sharded_step(cam_pyr, cfg, mesh, max_iters)
+    assert problem.reproj_edges is not None, (
+        "sharded_run_ba requires shard_problem() first (it synthesizes an "
+        "all-invalid reprojection table when the graph has none)"
+    )
     return fn(
         variables,
         problem.window,
         problem.photo_edges,
         problem.geo_edges,
+        problem.reproj_edges,
         problem.priors,
         update_mask,
     )
@@ -224,7 +268,27 @@ def dryrun(n_devices: int) -> None:
         pose_valid=jnp.zeros(k).at[0].set(1.0),
         pose_target=SE3.identity((k,)),
     )
-    problem = ba.BAProblem(window, edges, edges, priors)
+    # include real reprojection edges so the dryrun certifies the full
+    # factor catalog multi-chip (global loop closures add these)
+    m = 8
+    from ..geometry.interp import locations_1d_to_2d
+
+    rp_loc = jnp.asarray(loc1d[:m])
+    rp_homo = jnp.asarray(homo[:m], jnp.float32)
+    x1, y1 = locations_1d_to_2d(rp_loc, cam.width)
+    reproj = ba.ReprojEdgeTable(
+        i0=jnp.asarray([0, 1], jnp.int32),
+        i1=jnp.asarray([1, 0], jnp.int32),
+        valid=jnp.ones(2),
+        loc1d_0=jnp.tile(rp_loc[None], (2, 1)),
+        homo_0=jnp.tile(rp_homo[None], (2, 1, 1)),
+        matched_2d_1=jnp.tile(
+            jnp.stack([x1, y1], axis=-1).astype(jnp.float32)[None], (2, 1, 1)
+        ),
+        match_valid=jnp.ones((2, m)),
+        weight=jnp.ones(2),
+    )
+    problem = ba.BAProblem(window, edges, edges, priors, reproj)
     problem = shard_problem(problem, mesh)
 
     taus = np.zeros((k, 6), np.float32)

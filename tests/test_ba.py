@@ -79,6 +79,37 @@ def build_problem(k=3, h=32, w=40, cs=4, fs=4, levels=3, n=256, seed=0):
     return problem, pyr
 
 
+def add_reproj_edges(problem, pyr, m=16):
+    """Attach a reprojection edge table (both directions per pair) using
+    the window's own sampled points as cycle matches — identity relative
+    poses remain the optimum since the keyframes are identical."""
+    from sage_slam_tpu.geometry.interp import locations_1d_to_2d
+
+    w = problem.window
+    k = w.loc1d.shape[0]
+    cam = pyr[0]
+    i0, i1 = [], []
+    for a in range(k - 1):
+        i0 += [a, a + 1]
+        i1 += [a + 1, a]
+    e = len(i0)
+    loc = w.loc1d[0, :m]
+    homo = w.homo[0, :m]
+    x1, y1 = locations_1d_to_2d(loc, cam.width)
+    matched = jnp.stack([x1, y1], axis=-1).astype(jnp.float32)
+    reproj = ba.ReprojEdgeTable(
+        i0=jnp.asarray(i0, jnp.int32),
+        i1=jnp.asarray(i1, jnp.int32),
+        valid=jnp.ones(e),
+        loc1d_0=jnp.tile(loc[None], (e, 1)),
+        homo_0=jnp.tile(homo[None], (e, 1, 1)),
+        matched_2d_1=jnp.tile(matched[None], (e, 1, 1)),
+        match_valid=jnp.ones((e, m)),
+        weight=jnp.ones(e),
+    )
+    return problem._replace(reproj_edges=reproj)
+
+
 def perturbed_vars(k, cs, seed=1, mag=0.02):
     rng = np.random.default_rng(seed)
     taus = np.zeros((k, 6), np.float32)

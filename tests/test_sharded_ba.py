@@ -8,12 +8,57 @@ import pytest
 from sage_slam_tpu.config import MapperConfig
 from sage_slam_tpu.parallel import sharded_ba
 from sage_slam_tpu.solver import ba
-from tests.test_ba import build_problem, perturbed_vars
+from tests.test_ba import add_reproj_edges, build_problem, perturbed_vars
 
 
 def test_dryrun_8_devices():
     assert len(jax.devices()) >= 8
     sharded_ba.dryrun(8)
+
+
+def test_sharded_matches_single_device_with_reproj():
+    """The sharded step must optimize the SAME cost as the single-device
+    step on a looped map — i.e. including reprojection edges (round-1
+    verdict #2: shard_problem used to silently drop them)."""
+    from jax.sharding import Mesh
+
+    k, cs = 3, 4
+    problem, pyr = build_problem(k=k, cs=cs)
+    problem = add_reproj_edges(problem, pyr)
+    cfg = MapperConfig()
+    v0 = perturbed_vars(k, cs)
+    mask = jnp.ones(k)
+
+    v_single, err_single, _ = ba.run_ba(
+        v0, problem, pyr, cfg, mask, max_iters=4
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (sharded_ba.AXIS,))
+    problem_sharded = sharded_ba.shard_problem(problem, mesh)
+    v_multi, err_multi, _ = sharded_ba.sharded_run_ba(
+        v0, problem_sharded, pyr, cfg, mask, mesh, max_iters=4
+    )
+
+    np.testing.assert_allclose(
+        float(err_single), float(err_multi), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.array(v_single.pose.trans),
+        np.array(v_multi.pose.trans),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(v_single.code), np.array(v_multi.code), atol=1e-5
+    )
+    # the reproj term must actually be in the cost: dropping it changes
+    # the sharded result
+    problem_noreproj = sharded_ba.shard_problem(
+        problem._replace(reproj_edges=None), mesh
+    )
+    _, err_drop, _ = sharded_ba.sharded_run_ba(
+        v0, problem_noreproj, pyr, cfg, mask, mesh, max_iters=4
+    )
+    assert abs(float(err_drop) - float(err_multi)) > 1e-8
 
 
 def test_sharded_matches_single_device():
