@@ -131,5 +131,115 @@ def main():
         )
 
 
+def growth_curve():
+    """Per-step mapping cost vs keyframe count (round-2 verdict #3).
+
+    The windowed mapping step linearizes only edges incident to the
+    sliding window, so per-step wall time must stay near-flat as the
+    graph grows from 8 to 128 keyframes with loop links — the role
+    ISAM2's incremental Bayes tree plays in the reference. Prints one
+    JSON line per size with windowed vs full-graph step time.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from sage_slam_tpu.config import MapperConfig
+    from sage_slam_tpu.geometry.camera import CameraPyramid, PinholeCamera
+    from sage_slam_tpu.geometry.interp import locations_1d_to_homo
+    from sage_slam_tpu.geometry.se3 import SE3, se3_exp
+    from sage_slam_tpu.ops.photometric import sample_source_features
+    from sage_slam_tpu.ops.pyramid import (
+        gaussian_pyramid_with_grad,
+        mask_pyramid,
+    )
+    from sage_slam_tpu.solver import ba
+    from sage_slam_tpu.solver.graph import Variables
+
+    h, w, cs, fs, levels, n = 64, 80, 16, 16, 4, 1024
+    window_size = 8
+    rng = np.random.default_rng(0)
+    cam = PinholeCamera(
+        fx=w * 1.1, fy=w * 1.1, cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+        width=w, height=h,
+    )
+    pyr = CameraPyramid.build(cam, levels)
+    feat = rng.standard_normal((fs, h, w)).astype(np.float32) * 0.3
+    mask = np.ones((h, w), np.float32)
+    masks = mask_pyramid(jnp.asarray(mask), levels)
+    fpyr, gpyr = gaussian_pyramid_with_grad(jnp.asarray(feat), masks, levels)
+    bias = np.full(h * w, 1.2, np.float32)
+    jac = (rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32)
+    loc1d = rng.choice(h * w, size=n, replace=False).astype(np.int32)
+    homo = np.array(locations_1d_to_homo(jnp.asarray(loc1d), cam))
+    srcf = sample_source_features(fpyr, jnp.asarray(loc1d), pyr)
+    cfg = MapperConfig()
+
+    results = []
+    for k in [8, 16, 32, 64, 128]:
+        window = ba.WindowData(
+            loc1d=jnp.tile(jnp.asarray(loc1d)[None], (k, 1)),
+            homo=jnp.tile(jnp.asarray(homo, jnp.float32)[None], (k, 1, 1)),
+            bias_flat=jnp.tile(jnp.asarray(bias)[None], (k, 1)),
+            jac_flat=jnp.tile(jnp.asarray(jac)[None], (k, 1, 1)),
+            feat_pyr=jnp.tile(fpyr[:, None], (1, k, 1)),
+            grad_pyr=jnp.tile(gpyr[:, :, None], (1, 1, k, 1)),
+            src_feats=jnp.tile(srcf[None], (k, 1, 1, 1)),
+            avg_sq_bias=jnp.full((k,), float(np.mean(bias**2))),
+            mask_flat=jnp.asarray(mask.reshape(-1)),
+        )
+        # temporal chain both directions + a loop link every 8 keyframes
+        pairs = []
+        for a in range(k - 1):
+            pairs += [(a, a + 1), (a + 1, a)]
+        for a in range(0, k - 8, 8):
+            pairs += [(a, k - 1), (k - 1, a)]
+        lo = k - window_size
+        win_pairs = [p for p in pairs if p[0] >= lo or p[1] >= lo]
+
+        def table(ps):
+            return ba.EdgeTable(
+                jnp.asarray([p[0] for p in ps], jnp.int32),
+                jnp.asarray([p[1] for p in ps], jnp.int32),
+                jnp.ones(len(ps)),
+            )
+
+        priors = ba.PriorTable(
+            code_valid=jnp.ones(k),
+            scale_valid=jnp.zeros(k).at[0].set(1.0),
+            scale_init=jnp.ones(k),
+            pose_valid=jnp.zeros(k).at[0].set(1.0),
+            pose_target=SE3.identity((k,)),
+        )
+        taus = (rng.standard_normal((k, 6)) * 0.01).astype(np.float32)
+        variables = Variables(
+            se3_exp(jnp.asarray(taus)), jnp.zeros((k, cs)), jnp.ones(k)
+        )
+        umask = jnp.zeros(k).at[lo:].set(1.0)
+
+        row = {"metric": "mapping_step_ms", "keyframes": k}
+        for name, ps in [("windowed", win_pairs), ("full", pairs)]:
+            problem = ba.BAProblem(window, table(ps), table(ps), priors)
+            step = jax.jit(
+                lambda v, p=problem: ba.run_ba(
+                    v, p, pyr, cfg, umask, max_iters=1
+                )
+            )
+            out = step(variables)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(5):
+                out = step(variables)
+            jax.block_until_ready(out)
+            row[name] = round((time.time() - t0) / 5 * 1000, 2)
+            row[f"{name}_edges"] = 2 * len(ps)
+        results.append(row)
+        print(json.dumps(row))
+    return results
+
+
 if __name__ == "__main__":
     main()
+    growth_curve()

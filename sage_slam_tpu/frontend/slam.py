@@ -728,11 +728,13 @@ class SlamSystem:
     # ------------------------------------------------------------------
 
     def refine_mapping(self, iters: Optional[int] = None):
-        """Final convergence loop (live_demo.cpp:252-257)."""
+        """Final convergence loop (live_demo.cpp:252-257): full-graph BA
+        with every active keyframe free (the windowed mapping_step only
+        linearizes edges incident to the sliding window)."""
         n = iters or self.cfg.mapper.refine_mapping_iters
         err = 0.0
         for _ in range(n):
-            err = self.mapper.mapping_step()
+            err = self.mapper.mapping_step(full=True)
         return err
 
     def keyframe_trajectory(self):

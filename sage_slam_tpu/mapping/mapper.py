@@ -89,10 +89,16 @@ class Mapper:
         self.valid_loc1d = jnp.asarray(valid.astype(np.int32))
         self.masks_pyr = mask_pyramid(video_mask, cam_pyr.levels)
 
-        # host-side edge lists: (i0, i1)
+        # host-side edge lists: (i0, i1); parallel per-edge iteration
+        # budgets implement the reference's work-item countdown/retirement
+        # (OptimizeWork, df_work.cpp:120-136, slam_run.flags:94): an edge
+        # is linearized for at most cfg.mapper.factor_iters LM iterations
+        # and then retired from the graph
         self.photo_edges: List[Tuple[int, int]] = []
         self.geo_edges: List[Tuple[int, int]] = []
         self.reproj_edges: List[dict] = []  # {i0, i1, match arrays, weight}
+        self.photo_edge_iters: List[int] = []
+        self.geo_edge_iters: List[int] = []
 
         self._build_frame_jit = jax.jit(self._build_frame_device)
         self._match_jit = jax.jit(self._build_matches_device)
@@ -247,11 +253,13 @@ class Mapper:
         for conn in back_connections:
             if m.use_photometric:
                 self.photo_edges += [(kf_id, conn), (conn, kf_id)]
+                self.photo_edge_iters += [m.factor_iters] * 2
             if m.use_reprojection:
                 self._add_reproj_edge(kf_id, conn)
                 self._add_reproj_edge(conn, kf_id)
             if m.use_geometric:
                 self.geo_edges += [(kf_id, conn), (conn, kf_id)]
+                self.geo_edge_iters += [m.factor_iters] * 2
             self.store.add_link(kf_id, conn)
         return kf_id
 
@@ -266,13 +274,16 @@ class Mapper:
     ):
         """Loop-closure link (EnqueueLink, mapper.cpp:392-453). The
         reference's match_geom flag adds *reprojection* factors."""
+        m = self.cfg.mapper
         if photo:
             self.photo_edges += [(id0, id1), (id1, id0)]
+            self.photo_edge_iters += [m.factor_iters] * 2
         if match_geom:
             self._add_reproj_edge(id0, id1)
             self._add_reproj_edge(id1, id0)
         if geo:
             self.geo_edges += [(id0, id1), (id1, id0)]
+            self.geo_edge_iters += [m.factor_iters] * 2
         self.store.add_link(id0, id1, global_loop)
 
     # ------------------------------------------------------------------
@@ -327,6 +338,7 @@ class Mapper:
                 matched_2d_1=jnp.stack([x1, y1], axis=-1),
                 match_valid=inliers,
                 weight=inlier_ratio * self.cfg.mapper.reproj_factor_weight,
+                iters=self.cfg.mapper.factor_iters,
             )
         )
 
@@ -343,16 +355,16 @@ class Mapper:
             i0[n], i1[n], val[n] = a, b, 1.0
         return ba.EdgeTable(jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(val))
 
-    def _reproj_table(self, pad: int):
+    def _reproj_table(self, reproj_edges: List[dict], pad: int):
         m = self.cfg.mapper.desc_num_keypoints
-        if not self.reproj_edges:
+        if not reproj_edges:
             return ba.ReprojEdgeTable.empty(m)
-        e = len(self.reproj_edges)
+        e = len(reproj_edges)
         cap = _round_up(e, pad)
 
         def stack(key, shape, dtype=np.float32):
             out = np.zeros((cap,) + shape, dtype)
-            for n, ed in enumerate(self.reproj_edges):
+            for n, ed in enumerate(reproj_edges):
                 out[n] = np.array(ed[key])
             return jnp.asarray(out)
 
@@ -360,7 +372,7 @@ class Mapper:
         i1 = np.zeros(cap, np.int32)
         val = np.zeros(cap, np.float32)
         wgt = np.zeros(cap, np.float32)
-        for n, ed in enumerate(self.reproj_edges):
+        for n, ed in enumerate(reproj_edges):
             i0[n], i1[n], val[n], wgt[n] = ed["i0"], ed["i1"], 1.0, ed["weight"]
         return ba.ReprojEdgeTable(
             i0=jnp.asarray(i0),
@@ -373,7 +385,56 @@ class Mapper:
             weight=jnp.asarray(wgt),
         )
 
-    def build_problem(self) -> ba.BAProblem:
+    def _active_edge_selection(self, window_lo: int):
+        """Indices of edges incident to the active window [window_lo, n).
+
+        Frozen-frozen edges (both endpoints below the window, i.e. with
+        update_mask 0) contribute only to masked-out rows/cols of the
+        damped system plus a constant in the accept test, so dropping
+        them leaves every LM decision bit-identical while making the
+        per-step linearization cost O(window edges), not O(total edges) —
+        the role ISAM2's incrementality plays in the reference
+        (SURVEY.md §5.7)."""
+        ph = [
+            n for n, (a, b) in enumerate(self.photo_edges)
+            if a >= window_lo or b >= window_lo
+        ]
+        ge = [
+            n for n, (a, b) in enumerate(self.geo_edges)
+            if a >= window_lo or b >= window_lo
+        ]
+        rp = [
+            n for n, ed in enumerate(self.reproj_edges)
+            if ed["i0"] >= window_lo or ed["i1"] >= window_lo
+        ]
+        return ph, ge, rp
+
+    def _retire_edges(self, ph_sel, ge_sel, rp_sel, iters_spent: int):
+        """Count down the linearized edges' budgets and retire exhausted
+        ones (the work manager's remove-indices, work_manager.cpp:46-65)."""
+        for n in ph_sel:
+            self.photo_edge_iters[n] -= iters_spent
+        for n in ge_sel:
+            self.geo_edge_iters[n] -= iters_spent
+        for n in rp_sel:
+            self.reproj_edges[n]["iters"] = (
+                self.reproj_edges[n].get("iters", self.cfg.mapper.factor_iters)
+                - iters_spent
+            )
+        if any(v <= 0 for v in self.photo_edge_iters):
+            keep = [n for n, v in enumerate(self.photo_edge_iters) if v > 0]
+            self.photo_edges = [self.photo_edges[n] for n in keep]
+            self.photo_edge_iters = [self.photo_edge_iters[n] for n in keep]
+        if any(v <= 0 for v in self.geo_edge_iters):
+            keep = [n for n, v in enumerate(self.geo_edge_iters) if v > 0]
+            self.geo_edges = [self.geo_edges[n] for n in keep]
+            self.geo_edge_iters = [self.geo_edge_iters[n] for n in keep]
+        if any(ed.get("iters", 1) <= 0 for ed in self.reproj_edges):
+            self.reproj_edges = [
+                ed for ed in self.reproj_edges if ed.get("iters", 1) > 0
+            ]
+
+    def build_problem(self, window_lo: int = 0) -> ba.BAProblem:
         k = self.store.capacity
         scale_valid = np.zeros(k, np.float32)
         scale_init = np.ones(k, np.float32)
@@ -393,15 +454,23 @@ class Mapper:
             pose_valid=jnp.asarray(pose_valid),
             pose_target=SE3.identity((k,)),
         )
+        ph_sel, ge_sel, rp_sel = self._active_edge_selection(window_lo)
+        self._last_selection = (ph_sel, ge_sel, rp_sel)
         return ba.BAProblem(
             window=self.store.window_data(self.mask_flat),
             # bucket bases sized so a typical run compiles the BA step
             # only once or twice per factor type (each remote TPU compile
             # costs tens of seconds; memory for the padding is trivial)
-            photo_edges=self._edge_table(self.photo_edges, 128),
-            geo_edges=self._edge_table(self.geo_edges, 128),
+            photo_edges=self._edge_table(
+                [self.photo_edges[n] for n in ph_sel], 128
+            ),
+            geo_edges=self._edge_table(
+                [self.geo_edges[n] for n in ge_sel], 128
+            ),
             priors=priors,
-            reproj_edges=self._reproj_table(32),
+            reproj_edges=self._reproj_table(
+                [self.reproj_edges[n] for n in rp_sel], 32
+            ),
         )
 
     def mapping_step_sharded(
@@ -438,12 +507,19 @@ class Mapper:
         )
         return float(err)
 
-    def mapping_step(self, max_iters: Optional[int] = None) -> float:
+    def mapping_step(
+        self, max_iters: Optional[int] = None, full: bool = False
+    ) -> float:
         """One windowed BA solve + write-back (MappingStep,
-        mapper.cpp:469-612). Returns the final graph error."""
+        mapper.cpp:469-612). Returns the final graph error.
+
+        ``full=True`` frees every active keyframe and linearizes every
+        live edge (the RefineMapping global-convergence mode,
+        live_demo.cpp:252-257); the default windowed mode linearizes only
+        edges incident to the sliding window, keeping per-step cost
+        bounded as the graph grows."""
         if self.store.num_active < 2:
             return 0.0
-        problem = self.build_problem()
         k = self.store.capacity
         # size the solve to a geometric bucket of the ACTIVE keyframe
         # count (not store capacity): linearization, the per-iteration
@@ -452,12 +528,13 @@ class Mapper:
         kb = min(k, _round_up(self.store.num_active, 8))
         active = np.zeros(kb, np.float32)
         w = self.cfg.mapper.window_size
-        lo = max(0, self.store.num_active - w)
+        lo = 0 if full else max(0, self.store.num_active - w)
         active[lo : self.store.num_active] = 1.0
         # keyframes reinitialized by a loop closure are frozen for BA until
         # the loop values are absorbed (df_work.cpp:62-69 analog)
         active[self.store.reinitialize_count[:kb] > 0] = 0.0
         update_mask = jnp.asarray(active)
+        problem = self.build_problem(window_lo=lo)
 
         shapes = (
             problem.photo_edges.i0.shape[0],
@@ -495,6 +572,8 @@ class Mapper:
         self.store.reinitialize_count = np.maximum(
             self.store.reinitialize_count - 1, 0
         )
+        # work-item countdown + retirement for the edges just linearized
+        self._retire_edges(*self._last_selection, iters_spent=int(iters))
         return float(err)
 
 

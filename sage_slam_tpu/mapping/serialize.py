@@ -45,6 +45,10 @@ def save_state(path: str, system) -> None:
         "geo_edges": np.array(system.mapper.geo_edges, np.int64).reshape(-1, 2)
         if system.mapper.geo_edges
         else np.zeros((0, 2), np.int64),
+        "photo_edge_iters": np.array(
+            system.mapper.photo_edge_iters, np.int64
+        ),
+        "geo_edge_iters": np.array(system.mapper.geo_edge_iters, np.int64),
         "links": json.dumps(
             {str(k): sorted(v) for k, v in store.links.items()}
         ),
@@ -97,6 +101,17 @@ def load_state(path: str, system) -> None:
     )
     system.mapper.photo_edges = [tuple(e) for e in d["photo_edges"]]
     system.mapper.geo_edges = [tuple(e) for e in d["geo_edges"]]
+    fi = system.cfg.mapper.factor_iters
+    system.mapper.photo_edge_iters = (
+        [int(x) for x in d["photo_edge_iters"]]
+        if "photo_edge_iters" in d
+        else [fi] * len(system.mapper.photo_edges)
+    )
+    system.mapper.geo_edge_iters = (
+        [int(x) for x in d["geo_edge_iters"]]
+        if "geo_edge_iters" in d
+        else [fi] * len(system.mapper.geo_edges)
+    )
     system.trajectory = [
         (float(ts), SE3(jnp.asarray(r), jnp.asarray(t)))
         for ts, r, t in zip(
