@@ -108,7 +108,6 @@ class LoopConfig:
     pose_graph_rot_weight: float = 1.0
     pose_graph_scale_prior_weight: float = 50.0
     pose_graph_scale_weight: float = 3.0
-    pose_graph_max_iters: int = 200
     pose_scale_graph_max_iters: int = 200
     pose_scale_graph_no_relin_max_iters: int = 5
     pose_linearize_threshold: float = 3.0e-3

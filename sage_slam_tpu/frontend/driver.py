@@ -70,28 +70,15 @@ class SlamDriver:
             timing.toc("mapping_tick")
 
     def _loop_tick(self):
-        item = self.kf_queue.pop(timeout_ms=50) if self.kf_queue else -1
-        if item < 0:
-            return
-        kf_id = int(item)
+        # drain the wake signal; scheduling itself is flag-driven — each
+        # tick searches the NEWEST keyframe not yet searched by that
+        # backend (deepfactors.cpp:1112-1196), so keyframes created
+        # faster than the loop rate are still searched eventually
+        if self.kf_queue is not None:
+            self.kf_queue.pop(timeout_ms=50)
         with self._lock:
-            if self.system.cfg.loop.use_local_loop:
-                info = self.system.detect_local_loop(kf_id)
-                if info.detected:
-                    self.system.mapper.enqueue_link(
-                        kf_id, info.id_ref,
-                        self.system.cfg.mapper.use_photometric,
-                        self.system.cfg.mapper.use_reprojection,
-                        self.system.cfg.mapper.use_geometric,
-                        False,
-                    )
-            if (
-                self.system.cfg.loop.use_global_loop
-                and self.system.bow_db is not None
-            ):
-                loops = self.system.detect_global_loop(kf_id)
-                if loops:
-                    self.system.close_global_loops(kf_id, loops)
+            self.system.local_loop_tick()
+            self.system.global_loop_tick()
 
     # ------------------------------------------------------------------
 

@@ -419,52 +419,110 @@ class SlamSystem:
     # loop closure
 
     def detect_local_loop(self, kf_id: int) -> LoopInfo:
-        """DetectLocalLoop (loop_detector.cpp:236-367), simplified to the
-        pose-distance gate + descriptor verification."""
+        """DetectLocalLoop (loop_detector.cpp:236-367): candidates are
+        verified by 7-DoF tracking and gated on area*inlier / descriptor /
+        BoW-similarity / motion metrics against a baseline measured by
+        tracking the keyframe against its CLOSEST temporal connection."""
         lcfg = self.cfg.loop
-        conns = self.store.connections(kf_id)
+        conns = self.store.connections(kf_id, temporal_only=True)
         if not conns:
             return LoopInfo()
         kf_pose = self.store.pose(kf_id)
-        recent = [
-            cid
-            for cid in self._visited[-lcfg.local_active_window :]
-            if abs(cid - kf_id)
-            > self.cfg.keyframe.temporal_max_back_connections
-            and not self.store.link_exists(kf_id, cid)
-        ]
-        # one batched transfer for all pose distances (per-float syncs
-        # serialize on the device round-trip latency)
         dvals = jax.device_get(
             [se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
              for c in conns]
-            + [se3m.pose_distance(kf_pose, self.store.pose(c), 1.0, 1.0)
-               for c in recent]
         )
-        min_dist = min(float(d) for d in dvals[: len(conns)])
+        min_i = int(np.argmin([float(d) for d in dvals]))
+        min_id, min_dist = conns[min_i], float(dvals[min_i])
+
+        # baseline: 7-DoF track this keyframe against its closest
+        # temporal connection (loop_detector.cpp:264-281)
+        fr_like = self._store_frame_view(kf_id)
+        base_mg = self._match_geo(min_id, fr_like)
+        base = self._track_7dof(min_id, fr_like, base_mg)
+        if base is None:
+            return LoopInfo()
+        r = lcfg.local_metric_ratio
+        best_metric = r * base["area_ratio"] * base["inlier_ratio"]
+        best_desc = r * float(base_mg.desc_inlier_ratio)
+        best_sim = (
+            r * float(vocabulary.score_l1(
+                self.bow_db.vectors[min_id], self.bow_db.vectors[kf_id]
+            ))
+            if self.bow_db is not None
+            else 0.0
+        )
+        best_motion = base["average_motion"] / r
         ref_dist = lcfg.local_dist_ratio * min_dist
 
-        gated = [
-            cid
-            for cid, d in zip(recent, dvals[len(conns):])
-            if float(d) < ref_dist
-        ]
-        if not gated:
-            return LoopInfo()
-        fr_like = self._store_frame_view(kf_id)
-        ratios = jax.device_get(
-            [self._match_geo(c, fr_like).desc_inlier_ratio for c in gated]
-        )
-        best = LoopInfo()
-        best_ratio = 0.0
-        for cid, ratio in zip(gated, ratios):
-            ratio = float(ratio)
-            if ratio < lcfg.min_desc_inlier_ratio:
+        # scan visited ids backwards from this keyframe within the window
+        # (every examined entry counts toward the window, like the
+        # reference's it++ on all branches)
+        try:
+            start = len(self._visited) - 1 - self._visited[::-1].index(kf_id)
+        except ValueError:
+            start = len(self._visited) - 1
+        best_id = -1
+        examined = 0
+        idx = start - 1
+        while examined < lcfg.local_active_window and idx >= 0:
+            cid = self._visited[idx]
+            idx -= 1
+            examined += 1
+            if (
+                abs(cid - kf_id)
+                <= self.cfg.keyframe.temporal_max_back_connections
+            ):
                 continue
-            if ratio > best_ratio:
-                best_ratio = ratio
-                best = LoopInfo(detected=True, id_ref=cid)
-        return best
+            if self.store.link_exists(kf_id, cid):
+                continue
+            dist = float(
+                se3m.pose_distance(
+                    kf_pose, self.store.pose(cid), 1.0, 1.0
+                )
+            )
+            if dist >= ref_dist:
+                continue
+            # descriptor pre-check for speed (loop_detector.cpp:313-320)
+            mg = self._match_geo(cid, fr_like)
+            desc_ratio = float(mg.desc_inlier_ratio)
+            if (
+                desc_ratio < lcfg.min_desc_inlier_ratio
+                or desc_ratio < best_desc
+            ):
+                continue
+            m = self._track_7dof(cid, fr_like, mg)
+            if m is None:
+                continue
+            if (
+                m["area_ratio"] < lcfg.min_area_ratio
+                or m["inlier_ratio"] < lcfg.min_inlier_ratio
+            ):
+                continue
+            metric = m["area_ratio"] * m["inlier_ratio"]
+            sim = (
+                float(vocabulary.score_l1(
+                    self.bow_db.vectors[cid], self.bow_db.vectors[kf_id]
+                ))
+                if self.bow_db is not None
+                else 1.0
+            )
+            motion = m["average_motion"]
+            if (
+                metric > best_metric
+                and desc_ratio > best_desc
+                and motion < best_motion
+                and (self.bow_db is None or sim > best_sim)
+            ):
+                best_metric = metric
+                best_desc = desc_ratio
+                best_sim = sim
+                best_motion = motion
+                best_id = cid
+        if best_id == -1:
+            return LoopInfo()
+        return LoopInfo(detected=True, id_ref=best_id,
+                        desc_inlier_ratio=best_desc)
 
     def _store_frame_view(self, kf_id: int) -> FrameData:
         """A FrameData view over a stored keyframe (for re-matching)."""
@@ -532,9 +590,13 @@ class SlamSystem:
                 filtered.append(lp)
         return filtered
 
-    def _verify_loop_7dof(self, ref_id, fr_like, mg) -> Optional[LoopInfo]:
-        """7-DoF tracking against the candidate (loop_detector.cpp:154-200)."""
-        lcfg = self.cfg.loop
+    def _track_7dof(self, ref_id, fr_like, mg) -> Optional[dict]:
+        """7-DoF LM tracking of ``fr_like`` against keyframe ``ref_id``
+        plus the convex-hull overlap metrics (camera_tracker TrackFrame +
+        ComputeAreaInlierRatio). Returns None on degenerate matches
+        (camera_tracker.cpp:1143-1148 bails below 3 matches)."""
+        if float(jnp.sum(mg.inliers)) < 3:
+            return None
         ref = self._tracker_ref(ref_id)
         target = self._target(fr_like)
         terms = TrackTerms(
@@ -551,19 +613,27 @@ class SlamSystem:
         key = ("7dof", True)
         fn = self._track_fns.get(key)
         if fn is None:
+            # the loop verifier runs the tracker with its OWN LM settings
+            # (slam_run.flags:42-55: more iterations, different damping)
+            lcfg = self.cfg.loop
+            loop_tcfg = dataclasses.replace(
+                self.cfg.tracker,
+                max_num_iters=lcfg.tracking_max_num_iters,
+                min_grad_thresh=lcfg.tracking_min_grad_thresh,
+                min_param_inc_thresh=lcfg.tracking_min_param_inc_thresh,
+                damp_dec_factor=lcfg.tracking_damp_dec_factor,
+                damp_inc_factor=lcfg.tracking_damp_inc_factor,
+            )
             fn = jax.jit(
                 lambda r, t, s, ref_, target_, terms_: tracker.lm_track(
-                    r, t, ref_, target_, self.cam_pyr, self.cfg.tracker,
+                    r, t, ref_, target_, self.cam_pyr, loop_tcfg,
                     terms=terms_, with_scale=True, init_scale=s,
-                    max_iters=self.cfg.loop.tracking_max_num_iters,
                 )
             )
             self._track_fns[key] = fn
         res = fn(
             mg.guess_rot, mg.guess_trans, mg.guess_scale, ref, target, terms
         )
-
-        # overlap gates
         depth = self.store.depth_map(ref_id)
         valid_homo = interp.locations_1d_to_homo(
             self.mapper.valid_loc1d, self.cam
@@ -573,15 +643,38 @@ class SlamSystem:
             valid_homo, res.rot, res.trans, self.cam,
             self.mapper.mask_flat, self.cfg.tracker.dpt_eps,
         )
-        within = np.array(metrics["within"]) > 0.5
-        a0 = tracker.convex_hull_area(np.array(metrics["source_2d"]))
+        host = jax.device_get(
+            dict(
+                src2d=metrics["source_2d"],
+                warp2d=metrics["warped_2d"],
+                within=metrics["within"],
+                inlier_ratio=metrics["inlier_ratio"],
+                average_motion=metrics["average_motion"],
+            )
+        )
+        within = host["within"] > 0.5
+        a0 = tracker.convex_hull_area(host["src2d"])
         a1 = (
-            tracker.convex_hull_area(np.array(metrics["warped_2d"])[within])
+            tracker.convex_hull_area(host["warp2d"][within])
             if within.any()
             else 0.0
         )
-        area_ratio = a1 / a0 if a0 > 0 else 0.0
-        inlier_ratio = float(metrics["inlier_ratio"])
+        return dict(
+            res=res,
+            area_ratio=a1 / a0 if a0 > 0 else 0.0,
+            inlier_ratio=float(host["inlier_ratio"]),
+            average_motion=float(host["average_motion"]),
+        )
+
+    def _verify_loop_7dof(self, ref_id, fr_like, mg) -> Optional[LoopInfo]:
+        """7-DoF tracking against the candidate (loop_detector.cpp:154-200)."""
+        lcfg = self.cfg.loop
+        m = self._track_7dof(ref_id, fr_like, mg)
+        if m is None:
+            return None
+        res = m["res"]
+        area_ratio = m["area_ratio"]
+        inlier_ratio = m["inlier_ratio"]
         if area_ratio < lcfg.min_area_ratio or inlier_ratio < lcfg.min_inlier_ratio:
             return None
 
@@ -710,20 +803,91 @@ class SlamSystem:
         active = np.zeros(k, np.float32)
         active[:n] = 1.0
         v_opt, err, _ = pose_graph.optimize(
-            variables, edges, priors, lcfg, jnp.asarray(active),
-            max_iters=lcfg.pose_scale_graph_max_iters // 10,
+            variables, edges, priors, lcfg, jnp.asarray(active)
         )
 
-        # write back: in-graph keyframes take optimized values
+        # write back: in-graph keyframes take optimized values; keyframes
+        # created AFTER the graph snapshot (a threaded frontend can add
+        # them during the solve) are rigidly propagated from the last
+        # in-graph keyframe with scaled translation
+        # (deepfactors.cpp:336-385)
+        from ..mapping.keyframe_store import set_row
         from ..solver.graph import Variables
 
+        pose_rows, scale_rows = v_opt.pose, v_opt.scale
+        newer = list(range(n, self.store.num_active))
+        if newer and in_graph:
+            prop = pose_graph.propagate_newer_keyframes(
+                SE3(
+                    self.store.variables.pose.rot,
+                    self.store.variables.pose.trans,
+                ),
+                self.store.variables.scale,
+                v_opt.pose,
+                v_opt.scale,
+                max(in_graph),
+                newer,
+            )
+            for i, (p, s) in prop.items():
+                pose_rows = SE3(
+                    set_row(pose_rows.rot, i, p.rot),
+                    set_row(pose_rows.trans, i, p.trans),
+                )
+                scale_rows = set_row(scale_rows, i, jnp.asarray(s))
         new_vars = Variables(
-            pose=v_opt.pose,
+            pose=pose_rows,
             code=self.store.variables.code,
-            scale=v_opt.scale,
+            scale=scale_rows,
         )
         self.store.variables = new_vars
-        self.store.reinitialize_count[list(in_graph | {kf_id})] += 1
+        self.store.reinitialize_count[list(in_graph | {kf_id}) + newer] += 1
+
+    # ------------------------------------------------------------------
+    # loop-backend scheduling (deepfactors.cpp:1112-1196): each tick picks
+    # the NEWEST keyframe not yet searched by that backend, marks it, and
+    # runs detection — so every keyframe is eventually searched even when
+    # keyframes arrive faster than the loop threads tick.
+
+    def _newest_unsearched(self, flags) -> Optional[int]:
+        for i in range(self.store.num_active - 1, -1, -1):
+            if not flags[i]:
+                return i
+        return None
+
+    def local_loop_tick(self) -> Optional[LoopInfo]:
+        """One local-loop backend iteration (deepfactors.cpp:898-1058):
+        scan for the newest unsearched keyframe, detect, and enqueue a
+        loop link (photo + reproj + geo, deepfactors.cpp:992)."""
+        if not self.cfg.loop.use_local_loop:
+            return None
+        kf_id = self._newest_unsearched(self.store.local_loop_searched)
+        if kf_id is None:
+            return None
+        self.store.local_loop_searched[kf_id] = True
+        info = self.detect_local_loop(kf_id)
+        if info.detected:
+            self.mapper.enqueue_link(
+                kf_id, info.id_ref,
+                self.cfg.mapper.use_photometric,
+                self.cfg.mapper.use_reprojection,
+                self.cfg.mapper.use_geometric,
+                False,
+            )
+        return info
+
+    def global_loop_tick(self) -> List[LoopInfo]:
+        """One global-loop backend iteration (deepfactors.cpp:1061-1246):
+        newest unsearched keyframe -> BoW detection -> pose-scale solve."""
+        if not self.cfg.loop.use_global_loop or self.bow_db is None:
+            return []
+        kf_id = self._newest_unsearched(self.store.global_loop_searched)
+        if kf_id is None:
+            return []
+        self.store.global_loop_searched[kf_id] = True
+        loops = self.detect_global_loop(kf_id)
+        if loops:
+            self.close_global_loops(kf_id, loops)
+        return loops
 
     # ------------------------------------------------------------------
 

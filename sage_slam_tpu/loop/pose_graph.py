@@ -173,20 +173,37 @@ def optimize(
     pr: PoseScalePriors,
     cfg,
     active_mask: jax.Array,
-    max_iters: int = 30,
+    max_iters: int | None = None,
 ):
-    """Damped GN over the pose-scale graph. Returns (variables, err, it)."""
+    """Damped GN over the pose-scale graph. Returns (variables, err, it).
+
+    Iteration budget is cfg.pose_scale_graph_max_iters; the loop stops
+    early once an accepted step's pose/scale deltas drop below
+    cfg.pose_linearize_threshold / cfg.scale_linearize_threshold — the
+    analog of the reference iterating ISAM2 update() only while
+    variables still relinearize (deepfactors.cpp:296-313)."""
+    iters = max_iters if max_iters is not None else (
+        cfg.pose_scale_graph_max_iters
+    )
+
+    def converged(delta):
+        # delta [K, 7] = [pose(6), scale(1)], frozen rows already zeroed
+        pose_ok = jnp.max(jnp.abs(delta[:, :6])) < cfg.pose_linearize_threshold
+        scale_ok = jnp.max(jnp.abs(delta[:, 6])) < cfg.scale_linearize_threshold
+        return jnp.logical_and(pose_ok, scale_ok)
+
     return graph.lm_loop(
         variables,
         lambda v: linearize(v, edges, pr, cfg),
         lambda v: error_only(v, edges, pr, cfg),
         active_mask,
-        max_iters,
+        iters,
         init_damp=1e-4,
         min_damp=1e-8,
         max_damp=1e4,
         damp_dec=10.0,
         damp_inc=10.0,
+        conv_fn=converged,
     )
 
 

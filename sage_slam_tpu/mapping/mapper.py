@@ -101,7 +101,7 @@ class Mapper:
         self.geo_edge_iters: List[int] = []
 
         self._build_frame_jit = jax.jit(self._build_frame_device)
-        self._match_jit = jax.jit(self._build_matches_device)
+        self._reproj_jit = jax.jit(self._reproj_edge_device)
         self._ba_cache = {}
 
     # ------------------------------------------------------------------
@@ -289,7 +289,12 @@ class Mapper:
     # ------------------------------------------------------------------
     # reprojection match construction (reprojection_factor.cpp:30-193)
 
-    def _build_matches_device(self, desc0, desc1, bias1_flat, key):
+    def _reproj_edge_device(self, desc0, desc1, bias0_flat, bias1_flat, key):
+        """One jitted program building a reprojection edge's match set:
+        random keypoints -> cycle-consistent descriptor matches -> 3D
+        points from the UNSCALED depth bias (reprojection_factor.cpp:124)
+        -> GNC-TLS translation-inlier filter. Returns only device arrays
+        (no host sync; the weight stays a device scalar)."""
         cam = self.cam_pyr[0]
         kps = matcher.select_keypoints(
             key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
@@ -299,26 +304,8 @@ class Mapper:
             cyc_consis_thresh=self.cfg.mapper.desc_cyc_consis_thresh,
         )
         homo0, homo1 = matcher.matches_to_points(m, cam)
-        bias0 = jnp.take(desc0[:, :1] * 0, m.loc1d_0)  # placeholder
-        # 3D points from the UNSCALED depth bias (reprojection_factor.cpp:124)
-        d1 = jnp.take(bias1_flat, m.loc1d_1)
-        return m, homo0, homo1, d1
-
-    def _add_reproj_edge(self, i0: int, i1: int):
-        cam = self.cam_pyr[0]
-        key = jax.random.key((i0 * max(self.store.num_active, 1) + i1) & 0x7FFFFFFF)
-        desc0 = self.store.row('feat_desc', i0)
-        desc1 = self.store.row('feat_desc', i1)
-        kps = matcher.select_keypoints(
-            key, self.valid_loc1d, self.cfg.mapper.desc_num_keypoints
-        )
-        m = matcher.cycle_consistent_matches(
-            kps, desc0, desc1, cam.width,
-            cyc_consis_thresh=self.cfg.mapper.desc_cyc_consis_thresh,
-        )
-        homo0, homo1 = matcher.matches_to_points(m, cam)
-        bias0 = jnp.take(self.store.row('bias_flat', i0), m.loc1d_0)
-        bias1 = jnp.take(self.store.row('bias_flat', i1), m.loc1d_1)
+        bias0 = jnp.take(bias0_flat, m.loc1d_0)
+        bias1 = jnp.take(bias1_flat, m.loc1d_1)
         src = bias0[:, None] * homo0
         dst = bias1[:, None] * homo1
         focal = (cam.fx + cam.fy) / 2.0
@@ -327,17 +314,36 @@ class Mapper:
             noise_bound_multiplier=self.cfg.tracker.teaser_noise_bound_multiplier,
         )
         k = self.cfg.mapper.desc_num_keypoints
-        inlier_ratio = float(jnp.sum(inliers)) / k
+        inlier_ratio = jnp.sum(inliers) / k
         x1, y1 = interp.locations_1d_to_2d(m.loc1d_1, cam.width)
+        return (
+            m.loc1d_0,
+            homo0,
+            jnp.stack([x1, y1], axis=-1),
+            inliers,
+            inlier_ratio * self.cfg.mapper.reproj_factor_weight,
+        )
+
+    def _add_reproj_edge(self, i0: int, i1: int):
+        key = jax.random.key(
+            (i0 * max(self.store.num_active, 1) + i1) & 0x7FFFFFFF
+        )
+        loc1d_0, homo0, matched_2d, inliers, weight = self._reproj_jit(
+            self.store.row("feat_desc", i0),
+            self.store.row("feat_desc", i1),
+            self.store.row("bias_flat", i0),
+            self.store.row("bias_flat", i1),
+            key,
+        )
         self.reproj_edges.append(
             dict(
                 i0=i0,
                 i1=i1,
-                loc1d_0=m.loc1d_0,
+                loc1d_0=loc1d_0,
                 homo_0=homo0,
-                matched_2d_1=jnp.stack([x1, y1], axis=-1),
+                matched_2d_1=matched_2d,
                 match_valid=inliers,
-                weight=inlier_ratio * self.cfg.mapper.reproj_factor_weight,
+                weight=weight,  # device scalar; fetched batched at build
                 iters=self.cfg.mapper.factor_iters,
             )
         )
@@ -355,6 +361,10 @@ class Mapper:
             i0[n], i1[n], val[n] = a, b, 1.0
         return ba.EdgeTable(jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(val))
 
+    _REPROJ_KEYS = (
+        "loc1d_0", "homo_0", "matched_2d_1", "match_valid", "weight"
+    )
+
     def _reproj_table(self, reproj_edges: List[dict], pad: int):
         m = self.cfg.mapper.desc_num_keypoints
         if not reproj_edges:
@@ -362,10 +372,20 @@ class Mapper:
         e = len(reproj_edges)
         cap = _round_up(e, pad)
 
+        # one batched device->host transfer for every edge not yet
+        # fetched (per-edge np.array() calls each cost a full sync)
+        fresh = [ed for ed in reproj_edges if "_np" not in ed]
+        if fresh:
+            host = jax.device_get(
+                [{k: ed[k] for k in self._REPROJ_KEYS} for ed in fresh]
+            )
+            for ed, h in zip(fresh, host):
+                ed["_np"] = h
+
         def stack(key, shape, dtype=np.float32):
             out = np.zeros((cap,) + shape, dtype)
             for n, ed in enumerate(reproj_edges):
-                out[n] = np.array(ed[key])
+                out[n] = ed["_np"][key]
             return jnp.asarray(out)
 
         i0 = np.zeros(cap, np.int32)
@@ -373,7 +393,8 @@ class Mapper:
         val = np.zeros(cap, np.float32)
         wgt = np.zeros(cap, np.float32)
         for n, ed in enumerate(reproj_edges):
-            i0[n], i1[n], val[n], wgt[n] = ed["i0"], ed["i1"], 1.0, ed["weight"]
+            i0[n], i1[n], val[n] = ed["i0"], ed["i1"], 1.0
+            wgt[n] = ed["_np"]["weight"]
         return ba.ReprojEdgeTable(
             i0=jnp.asarray(i0),
             i1=jnp.asarray(i1),

@@ -115,6 +115,7 @@ class LMState(NamedTuple):
     error: jax.Array  # total graph error at `variables`
     damping: jax.Array
     iteration: jax.Array
+    converged: jax.Array  # bool: conv_fn fired on an accepted step
 
 
 def lm_loop(
@@ -129,6 +130,7 @@ def lm_loop(
     damp_dec: float = 10.0,
     damp_inc: float = 10.0,
     min_error_dec: float = 0.0,
+    conv_fn=None,  # delta [K, bd] -> bool; converged on accepted step
 ):
     """Damped GN (Levenberg-Marquardt) in a lax.while_loop.
 
@@ -136,6 +138,11 @@ def lm_loop(
     accept (and decrease damping) or reject (increase damping). Entirely
     on device; no host round-trips (the reference's per-iteration
     Eigen-solve hop, camera_tracker.cpp:1182, disappears).
+
+    ``conv_fn`` is the ISAM2 relinearization-threshold analog: when the
+    accepted step's delta falls below the caller's thresholds the loop
+    stops early (deepfactors.cpp:296-313 iterates update() only while
+    something relinearizes).
     """
     k = variables.num_kf
     bd = variables.block_dim
@@ -144,7 +151,10 @@ def lm_loop(
 
     def cond(state: LMState):
         return jnp.logical_and(
-            state.iteration < max_iters, state.damping <= max_damp
+            jnp.logical_and(
+                state.iteration < max_iters, state.damping <= max_damp
+            ),
+            jnp.logical_not(state.converged),
         )
 
     def body(state: LMState):
@@ -184,13 +194,22 @@ def lm_loop(
             jnp.maximum(state.damping / damp_dec, min_damp),
             state.damping * damp_inc,
         )
-        return LMState(next_vars, next_err, next_damp, state.iteration + 1)
+        if conv_fn is not None:
+            conv = jnp.logical_and(
+                accept, conv_fn(delta.reshape(k, bd) * update_mask[:, None])
+            )
+        else:
+            conv = jnp.asarray(False)
+        return LMState(
+            next_vars, next_err, next_damp, state.iteration + 1, conv
+        )
 
     init = LMState(
         variables,
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(init_damp, dtype),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.variables, final.error, final.iteration
