@@ -165,12 +165,17 @@ def load_dbow2_yaml(path: str) -> Vocabulary:
     k = int(re.search(r"\bk:\s*(\d+)", text).group(1))
     levels = int(re.search(r"\bL:\s*(\d+)", text).group(1))
 
+    # OpenCV YAML flow maps:
+    #   - { nodeId:1, parentId:0, weight:0.,
+    #       descriptor:"-0.39 ... " }
+    # (quoted descriptor may span lines; keys have no space after ':')
     node_re = re.compile(
-        r"nodeId:\s*(\d+)\s*\n\s*parentId:\s*(\d+)\s*\n\s*weight:"
-        r"\s*([\d.eE+-]+)\s*\n\s*descriptor:\s*\"?([^\"\n]+)\"?"
+        r"nodeId:\s*(\d+),\s*parentId:\s*(\d+),\s*weight:\s*"
+        r"([\d.eE+-]+),\s*descriptor:\s*\"([^\"]*)\"",
+        re.S,
     )
     nodes = node_re.findall(text)
-    word_re = re.compile(r"wordId:\s*(\d+)\s*\n\s*nodeId:\s*(\d+)")
+    word_re = re.compile(r"wordId:\s*(\d+),\s*nodeId:\s*(\d+)", re.S)
     words = word_re.findall(text)
 
     num_nodes = len(nodes) + 1

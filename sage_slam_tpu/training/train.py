@@ -42,9 +42,12 @@ class TrainConfig:
     decor_weight: float = 1.0e-3
     g_adv_weight: float = 1.0e-3
     ba_iters: int = 4
+    ba_use_reproj: bool = False  # reproj_term exists but is off in the
+    # reference's ba_iteration (diff_ba.py:1063 defined, never called)
     response_sigma_init: float = 30.0
     pyramid_levels: int = 3
     num_photo_samples: int = 128
+    eval_fraction: float = 0.1  # training.py:937 evaluation split
 
 
 class TrainState(NamedTuple):
@@ -210,15 +213,51 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 ),
                 mask_flat=mask.reshape(-1),
             )
+            # keypoint match set for the match-geometry + reprojection
+            # BA terms (diff_ba.py ba_optimize keypoint inputs); matched
+            # target depths come from the close frame's FIXED depth
+            from ..geometry.interp import (
+                locations_1d_to_2d,
+                locations_1d_to_homo,
+            )
+
+            kp = batch["keypoints_src"].astype(jnp.int32)
+            mt = batch["gt_match_close"].astype(jnp.int32)
+            mx, my = locations_1d_to_2d(mt, cam.width)
+            mask_flat = mask.reshape(-1)
+            matches = diff_ba.MatchSet(
+                homo0=locations_1d_to_homo(kp, cam),
+                bias0=jnp.take(f_src["bias_flat"], kp),
+                jac0=jnp.take(f_src["jac_flat"], kp, axis=0),
+                match_homo1=locations_1d_to_homo(mt, cam),
+                match_depths=jnp.take(f_close["bias_flat"], mt),
+                matched_2d=jnp.stack([mx, my], axis=-1).astype(jnp.float32),
+                valid=jnp.take(mask_flat, kp) * jnp.take(mask_flat, mt),
+            )
+            mean_sq_depth = jnp.sum(
+                (f_close["bias_flat"] * mask_flat) ** 2
+            ) / jnp.maximum(jnp.sum(mask_flat), 1.0)
+            inputs = diff_ba.BAInputs(
+                kf0=kf0,
+                fr1=fr1,
+                photo_shared=photo_shared,
+                geo_kf0=geo0,
+                geo_kf1=geo1,
+                geo_shared=geo_shared,
+                matches=matches,
+                mean_sq_depth=mean_sq_depth,
+                init_scale=jnp.asarray(1.0),
+            )
             init = diff_ba.BAState(
                 tau10=jnp.zeros(6),
-                code0=jnp.zeros(cs),
-                code1=jnp.zeros(cs),
                 scale0=jnp.asarray(1.0),
+                code0=jnp.zeros(cs),
             )
-            final, _ = diff_ba.two_frame_ba(
-                gen_params["ba"], kf0, fr1, photo_shared, geo0, geo1,
-                geo_shared, cam_pyr, init, num_iters=cfg.ba_iters,
+            final, _ = diff_ba.ba_optimize(
+                gen_params["ba"], inputs, cam_pyr, init,
+                max_iters=cfg.ba_iters,
+                use_match_geom=True, use_geom=True,
+                use_reproj=cfg.ba_use_reproj,
             )
             pred_depth, pred_flow = diff_ba.ba_outputs(
                 final, f_src["bias_flat"], f_src["jac_flat"], cam
@@ -315,6 +354,114 @@ def make_train_step(cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx, disc_tx, jo
         )
 
     return step
+
+
+def make_eval_step(cam_pyr, depth_cfg, feat_cfg, cfg, joint):
+    """Jitted no-grad loss battery over one triplet — the reference's
+    evaluation() pass (training.py:937) runs the same losses without an
+    optimizer step."""
+    loss_fn = make_loss_fn(cam_pyr, depth_cfg, feat_cfg, cfg, joint)
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        gen_params = {k: v for k, v in state.params.items() if k != "disc"}
+        loss, aux = loss_fn(gen_params, state.params["disc"], batch, key)
+        return loss, {k: v for k, v in aux.items() if k != "pred_depth"}
+
+    return step
+
+
+class ScalarLogger:
+    """JSONL scalar logger — the TensorBoard-scalars role
+    (training.py:80-94): one line per step with tag/step/value."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self._fh = open(path, "a") if path else None
+
+    def log(self, step: int, tag: str, values: dict):
+        if self._fh is None:
+            return
+        import json
+
+        rec = {"step": int(step), "tag": tag}
+        rec.update({k: float(v) for k, v in values.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+def train(
+    triplets,
+    cam,
+    depth_cfg,
+    feat_cfg,
+    disc_cfg,
+    cfg: TrainConfig,
+    num_epochs: int = 2,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
+    log_path: Optional[str] = None,
+):
+    """Epoch driver with the reference's two-phase curriculum and a
+    held-out evaluation split (training.py:254-420, 937): the last
+    eval_fraction of the triplet list is never trained on; after every
+    epoch the eval battery runs on it and its scalars are logged."""
+    cam_pyr = CameraPyramid.build(cam, cfg.pyramid_levels)
+    key = jax.random.key(seed)
+    state, tx, disc_tx = init_state(key, depth_cfg, feat_cfg, disc_cfg, cfg)
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state = load_checkpoint(checkpoint_path, state)
+
+    n_eval = max(1, int(len(triplets) * cfg.eval_fraction)) if len(
+        triplets
+    ) > 1 else 0
+    train_set = triplets[: len(triplets) - n_eval]
+    eval_set = triplets[len(triplets) - n_eval :]
+    batches_train = [triplet_to_batch(t, cam) for t in train_set]
+    batches_eval = [triplet_to_batch(t, cam) for t in eval_set]
+
+    steps = {}
+    logger = ScalarLogger(log_path)
+    history = []
+    try:
+        for epoch in range(state.epoch, num_epochs):
+            joint = epoch >= cfg.separate_train_epoch
+            if ("train", joint) not in steps:
+                steps[("train", joint)] = make_train_step(
+                    cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx,
+                    disc_tx, joint,
+                )
+                steps[("eval", joint)] = make_eval_step(
+                    cam_pyr, depth_cfg, feat_cfg, cfg, joint
+                )
+            for i, batch in enumerate(batches_train):
+                key, sub = jax.random.split(key)
+                state, loss, aux = steps[("train", joint)](state, batch, sub)
+                logger.log(
+                    int(state.step), "train",
+                    dict(loss=loss, **aux),
+                )
+            ev = {}
+            for batch in batches_eval:
+                key, sub = jax.random.split(key)
+                loss, aux = steps[("eval", joint)](state, batch, sub)
+                for k, v in dict(loss=loss, **aux).items():
+                    ev.setdefault(k, []).append(float(v))
+            ev_mean = {k: float(np.mean(v)) for k, v in ev.items()}
+            logger.log(int(state.step), "eval", ev_mean)
+            history.append(dict(epoch=epoch, joint=joint, eval=ev_mean))
+            state = state._replace(epoch=epoch + 1)
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, state)
+    finally:
+        logger.close()
+    return state, history
 
 
 def triplet_to_batch(t: Triplet, cam) -> dict:

@@ -99,24 +99,191 @@ def test_diff_ba_is_differentiable():
     g0 = geometric.GeoKf0(loc, homo, zero)
     g1 = geometric.GeoKf1(zero)
     geo_shared = geometric.GeoShared(bias, jac, mask.reshape(-1))
+    from sage_slam_tpu.geometry.interp import locations_1d_to_2d
+
+    kp = loc[:16]
+    mx, my = locations_1d_to_2d(kp, cam.width)
+    matches = diff_ba.MatchSet(
+        homo0=locations_1d_to_homo(kp, cam),
+        bias0=jnp.take(bias, kp),
+        jac0=jnp.take(jac, kp, axis=0),
+        match_homo1=locations_1d_to_homo(kp, cam),
+        # slightly off-depth matches so the MG/reproj residuals (and the
+        # grads of their weights) are nonzero
+        match_depths=jnp.take(bias, kp) * 1.05,
+        matched_2d=jnp.stack([mx + 0.5, my], axis=-1).astype(jnp.float32),
+        valid=jnp.ones(16),
+    )
+    inputs = diff_ba.BAInputs(
+        kf0=kf0, fr1=fr1, photo_shared=photo_shared,
+        geo_kf0=g0, geo_kf1=g1, geo_shared=geo_shared,
+        matches=matches,
+        mean_sq_depth=jnp.mean(bias**2),
+        init_scale=jnp.asarray(1.0),
+    )
     init = diff_ba.BAState(
-        tau10=jnp.zeros(6), code0=jnp.zeros(cs), code1=jnp.zeros(cs),
-        scale0=jnp.asarray(1.0),
+        tau10=jnp.zeros(6), scale0=jnp.asarray(1.0), code0=jnp.zeros(cs)
     )
     params = diff_ba.BAParams.init(L)
 
     def loss(p):
-        final, errs = diff_ba.two_frame_ba(
-            p, kf0, fr1, photo_shared, g0, g1, geo_shared, pyr, init,
-            num_iters=2
+        # exercise ALL five terms + the reprojection term through the BA
+        final, errs = diff_ba.ba_optimize(
+            p, inputs, pyr, init, max_iters=2,
+            use_match_geom=True, use_geom=True, use_reproj=True,
         )
         return jnp.sum(final.code0**2) + jnp.sum(final.tau10**2) + errs[-1]
 
     g = jax.grad(loss)(params)
     flat, _ = jax.tree.flatten(g)
     assert all(np.all(np.isfinite(np.array(x))) for x in flat)
-    # at least one param receives signal
-    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+    # the learnable photo power/weight and the match-geom/geometry
+    # scalars all receive signal
+    gd = g._asdict()
+    for name in (
+        "photo_weight", "photo_pow_factor", "match_geom_term_weight",
+        "geometry_term_weight",
+    ):
+        assert float(jnp.abs(gd[name]).max()) > 0, name
+
+
+def test_diff_ba_reduces_error_and_converges():
+    """ba_optimize must reduce the objective on a perturbed init and the
+    LM convergence flags must not corrupt the state."""
+    from sage_slam_tpu.geometry.camera import PinholeCamera
+    from sage_slam_tpu.geometry.interp import locations_1d_to_homo
+    from sage_slam_tpu.ops import geometric, photometric
+    from sage_slam_tpu.ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
+
+    rng = np.random.default_rng(5)
+    h, w, cs, fs, L, n = 16, 20, 4, 4, 2, 64
+    cam = PinholeCamera(fx=w * 1.1, fy=w * 1.1, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h)
+    pyr = CameraPyramid.build(cam, L)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    feat = jnp.asarray(
+        np.stack([
+            np.sin(0.4 * xx + c) * np.cos(0.3 * yy + c) for c in range(fs)
+        ]).astype(np.float32)
+    )
+    mask = jnp.ones((h, w))
+    masks = mask_pyramid(mask, L)
+    fpyr, gpyr = gaussian_pyramid_with_grad(feat, masks, L)
+    bias = jnp.asarray(np.full(h * w, 1.2, np.float32))
+    jac = jnp.asarray((rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32))
+    loc = jnp.asarray(rng.choice(h * w, n, replace=False).astype(np.int32))
+    homo = locations_1d_to_homo(loc, cam)
+    zero = jnp.asarray(0, jnp.int32)
+    kf0 = photometric.PhotoKf0(
+        loc, homo, photometric.sample_source_features(fpyr, loc, pyr),
+        zero, zero,
+    )
+    inputs = diff_ba.BAInputs(
+        kf0=kf0,
+        fr1=photometric.PhotoFr1(zero),
+        photo_shared=photometric.PhotoShared(
+            bias, jac, fpyr, gpyr, mask.reshape(-1)
+        ),
+        geo_kf0=geometric.GeoKf0(loc, homo, zero),
+        geo_kf1=geometric.GeoKf1(zero),
+        geo_shared=geometric.GeoShared(bias, jac, mask.reshape(-1)),
+        matches=None,
+        mean_sq_depth=jnp.mean(bias**2),
+        init_scale=jnp.asarray(1.0),
+    )
+    init = diff_ba.BAState(
+        tau10=jnp.asarray([0.02, -0.01, 0.015, 0.005, -0.004, 0.006]),
+        scale0=jnp.asarray(1.1),
+        code0=jnp.zeros(cs),
+    )
+    params = diff_ba.BAParams.init(L)
+    final, errs = diff_ba.ba_optimize(
+        params, inputs, pyr, init, max_iters=8,
+        use_match_geom=False, use_geom=True, use_reproj=False,
+    )
+    errs = np.array(errs)
+    assert np.all(np.isfinite(errs))
+    assert errs[-1] <= errs[0]
+    assert float(jnp.linalg.norm(final.tau10)) < float(
+        jnp.linalg.norm(init.tau10)
+    )
+
+
+def test_load_ba_model_from_reference_checkpoint():
+    """pretrained/ba_model.pt maps into BAParams (round-2 verdict #6)."""
+    import os
+
+    path = "/root/reference/pretrained/ba_model.pt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference checkpoint not present")
+    params = diff_ba.load_ba_model(path)
+    base = diff_ba.BAParams.init()
+    # the six trained scalars are finite and at least one differs from
+    # the config default (it was trained for 356 epochs)
+    for name in (
+        "photo_pow_factor", "photo_weight", "match_geom_param_factor",
+        "match_geom_term_weight", "geometry_cauchy_param_factor",
+        "geometry_term_weight",
+    ):
+        assert np.isfinite(float(getattr(params, name))), name
+    diffs = [
+        abs(float(getattr(params, n)) - float(getattr(base, n)))
+        for n in ("photo_pow_factor", "photo_weight")
+    ]
+    assert max(diffs) > 1e-6
+
+
+def test_train_driver_with_eval_split(tmp_path):
+    """train() runs both curriculum phases over a triplet list with a
+    held-out eval split, logs scalars, and checkpoints
+    (training.py:254-420, 937)."""
+    import json
+    import os
+
+    h, w = 16, 20
+    cs, fs = 4, 8
+    ds = dataset.SyntheticTripletDataset(h, w, num_keypoints=16)
+    depth_cfg = depth_network.DepthNetConfig(
+        filter_list=(4, 8), bottleneck=8, bias_inner=(8, 1),
+        basis_inner=((8, cs),),
+    )
+    feat_cfg = feature_network.FeatureNetConfig(
+        filter_list=(4, 8), bottleneck=8, desc_inner=(8, fs),
+        map_inner=(8, fs),
+    )
+    disc_cfg = discriminator.DiscConfig(
+        img_height=h, img_width=w, num_blocks=2, filter_base=4
+    )
+    cfg = train.TrainConfig(
+        pyramid_levels=2, ba_iters=2, num_photo_samples=32,
+        separate_train_epoch=1, eval_fraction=0.34,
+    )
+    triplets = [ds.sample() for _ in range(3)]
+    log = os.path.join(tmp_path, "scalars.jsonl")
+    ckpt = os.path.join(tmp_path, "ckpt.npz")
+    state, history = train.train(
+        triplets, ds.cam, depth_cfg, feat_cfg, disc_cfg, cfg,
+        num_epochs=2, checkpoint_path=ckpt, log_path=log,
+    )
+    assert state.epoch == 2
+    # both phases ran: epoch 0 separate, epoch 1 joint
+    assert [hh["joint"] for hh in history] == [False, True]
+    # eval metrics logged per epoch and finite
+    for hh in history:
+        assert np.isfinite(hh["eval"]["loss"])
+        assert "depth" in hh["eval"]
+    assert "flow" in history[1]["eval"]  # joint phase adds the BA flow
+    lines = [json.loads(l) for l in open(log)]
+    assert any(r["tag"] == "eval" for r in lines)
+    assert any(r["tag"] == "train" for r in lines)
+    assert os.path.exists(ckpt)
+    # resume restores the epoch counter
+    state2, _ = train.train(
+        triplets, ds.cam, depth_cfg, feat_cfg, disc_cfg, cfg,
+        num_epochs=2, checkpoint_path=ckpt, resume=True,
+    )
+    assert state2.epoch == 2  # nothing left to do
 
 
 def test_train_step_runs_both_phases():
