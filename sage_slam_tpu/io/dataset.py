@@ -397,8 +397,20 @@ class SyntheticInterface(CameraInterface):
 
     def frames(self) -> Iterator[FrameRecord]:
         for i in range(self.n):
-            # translate the texture window -> approximates lateral motion
+            # translate the texture window -> EXACT lateral motion of a
+            # camera over a fronto-parallel plane at unit depth: a window
+            # shift of ox pixels equals a translation of ox/fx (the
+            # ground-truth pose emitted in pose_wf, used by the ATE
+            # regression test)
             ox = int(i * self.motion * self.w)
             oy = int(i * self.motion * self.h * 0.5)
             img = self.texture[:, oy : oy + self.h, ox : ox + self.w]
-            yield FrameRecord(float(i), img.copy())
+            pose = np.eye(4)
+            pose[0, 3] = ox / self._cam.fx
+            pose[1, 3] = oy / self._cam.fy
+            yield FrameRecord(
+                float(i),
+                img.copy(),
+                depth=np.ones((self.h, self.w), np.float32),
+                pose_wf=pose,
+            )

@@ -1,0 +1,84 @@
+"""End-to-end trajectory ACCURACY regression (round-2 verdict #8).
+
+The synthetic sequence is an exact lateral camera motion over a
+fronto-parallel unit-depth plane (io/dataset.SyntheticInterface emits
+the ground-truth poses). With the depth network pinned to a constant
+depth map (perfect prior for this scene), the full frontend + mapping
+pipeline must recover the trajectory to a small Sim3-aligned ATE —
+the reference's eval role (slam_run_with_hdf5_dataset.py:162).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sage_slam_tpu.eval import ate
+from sage_slam_tpu.io.dataset import SyntheticInterface
+from tests.test_slam_e2e import tiny_system
+
+
+def flatten_depth_head(depth_params, constant=1.0, basis_eps=0.01):
+    """Pin the depth net's output to a constant bias map (+ tiny basis):
+    zero the final bias/basis conv weights and set their biases. The
+    untrained U-Net trunk is irrelevant for the scene geometry then."""
+    p = jax.tree.map(lambda x: x, depth_params)  # shallow copy via map
+    last = p["dpt_bias_convs"][-1]["conv2"]
+    last["weight"] = jnp.zeros_like(last["weight"])
+    last["bias"] = jnp.full_like(last["bias"], constant)
+    for key in p["dpt_basis_convs_hierarchy"]:
+        blast = p["dpt_basis_convs_hierarchy"][key][-1]["conv2"]
+        blast["weight"] = jnp.zeros_like(blast["weight"])
+        blast["bias"] = jnp.full_like(blast["bias"], basis_eps)
+    return p
+
+
+def test_ate_on_synthetic_lateral_motion():
+    system, _ = tiny_system(num_frames=10)
+    system.mapper.depth_params = flatten_depth_head(
+        system.mapper.depth_params
+    )
+    # rebuild the jitted frame builder against the new params
+    system.mapper._build_frame_jit = jax.jit(
+        system.mapper._build_frame_device
+    )
+    data = SyntheticInterface(
+        num_frames=10, height=32, width=40, seed=0, motion_scale=0.03
+    )
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+    for rec in frames[1:]:
+        res = system.process_frame(rec.timestamp, jnp.asarray(rec.image))
+        assert not res.tracking_lost
+        if res.new_keyframe:
+            system.mapper.mapping_step()
+    system.refine_mapping(2)
+
+    est = np.stack(
+        [np.array(p.trans) for _, p in system.trajectory]
+    )
+    gt = np.stack([f.pose_wf[:3, 3] for f in frames])
+    err_sim3 = ate.ate_rmse(est, gt, align="sim3")
+    # motion magnitude for context: the trajectory spans ~10 * 0.03 * 40
+    # = 12 px of window shift = 12/fx ~ 0.25 units of translation
+    span = float(np.linalg.norm(gt[-1] - gt[0]))
+    assert span > 0.1
+    assert err_sim3 < 0.25 * span, (err_sim3, span)
+    # the estimated trajectory must actually move (not a degenerate
+    # all-identity solution aligned by scale ~0)
+    assert float(np.linalg.norm(est[-1] - est[0])) > 1e-3
+
+
+def test_ate_rmse_identity():
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((20, 3))
+    # similarity-transformed copy aligns to ~0 error
+    s, ang = 2.0, 0.3
+    rot = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ]
+    )
+    est = (gt @ rot.T) * s + np.array([1.0, -2.0, 0.5])
+    assert ate.ate_rmse(est, gt, align="sim3") < 1e-9
