@@ -60,6 +60,7 @@ def main(argv=None):
     )
     rng = np.random.default_rng(0)
     descs = []
+    doc_ids = []
     for i, rec in enumerate(data.frames()):
         if i >= args.max_frames:
             break
@@ -67,10 +68,13 @@ def main(argv=None):
         c, h, w = fdesc.shape
         idx = rng.choice(h * w, args.points_per_frame, replace=False)
         descs.append(fdesc.reshape(c, -1).T[idx])
+        doc_ids.append(np.full(len(idx), i, np.int64))
     train = np.concatenate(descs)
     print(f"training vocabulary on {len(train)} descriptors")
+    # per-frame doc ids enable DBoW2's TF-IDF word weighting
     voc = vocabulary.build_vocabulary(
-        train, k=args.k, levels=args.levels
+        train, k=args.k, levels=args.levels,
+        doc_ids=np.concatenate(doc_ids),
     )
     np.savez(
         args.output,

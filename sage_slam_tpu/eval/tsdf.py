@@ -1,10 +1,14 @@
-"""TSDF volume fusion + mesh extraction (P10 parity).
+"""TSDF volume fusion + mesh extraction + fly-through (P10 parity).
 
 Replaces scripts/generate_reconstruction_fly_through.py's TSDFVolume
 (:130-376): keyframe depth maps are fused into a truncated signed
 distance volume entirely on device (voxels projected into each keyframe,
-depth sampled, truncated SDF running average), then a mesh is extracted
-on host with a lightweight marching-tetrahedra and saved as PLY.
+depth sampled, truncated SDF running average). The zero isosurface is
+extracted on host with vectorized marching tetrahedra
+(:func:`marching_tetrahedra`) and saved as a triangle-mesh PLY
+(:func:`save_ply`); :func:`fly_through` renders shaded frames along an
+interpolated camera path over the mesh (the reference's fly-through
+video role, generate_reconstruction_fly_through.py:378-684).
 """
 
 from __future__ import annotations
@@ -106,17 +110,208 @@ def extract_points(vol: TSDFVolume, threshold: float = 0.2):
     return pts
 
 
-def save_ply(path: str, points: np.ndarray):
-    """ASCII PLY point cloud writer."""
+# cube corners, bit layout chosen so the 0-6 main diagonal exists in
+# every tetrahedron of the classic 6-tet decomposition
+_CORNERS = np.array(
+    [
+        (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+    ],
+    np.int64,
+)
+_TETS = np.array(
+    [
+        (0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+        (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6),
+    ],
+    np.int64,
+)
+# per-tet triangulation: case bitmask (bit i set = corner i inside) ->
+# list of triangles, each vertex an edge (corner pair) to interpolate on
+_TET_TRIS = {
+    0b0001: [((0, 1), (0, 2), (0, 3))],
+    0b0010: [((1, 0), (1, 3), (1, 2))],
+    0b0100: [((2, 0), (2, 1), (2, 3))],
+    0b1000: [((3, 0), (3, 2), (3, 1))],
+    0b0011: [((0, 2), (0, 3), (1, 3)), ((0, 2), (1, 3), (1, 2))],
+    0b0101: [((0, 1), (2, 1), (2, 3)), ((0, 1), (2, 3), (0, 3))],
+    0b1001: [((0, 1), (0, 2), (3, 2)), ((0, 1), (3, 2), (3, 1))],
+    0b0110: [((1, 0), (2, 0), (2, 3)), ((1, 0), (2, 3), (1, 3))],
+    0b1010: [((1, 0), (1, 2), (3, 2)), ((1, 0), (3, 2), (3, 0))],
+    0b1100: [((2, 0), (3, 0), (3, 1)), ((2, 0), (3, 1), (2, 1))],
+    0b0111: [((0, 3), (1, 3), (2, 3))],
+    0b1011: [((0, 2), (3, 2), (1, 2))],
+    0b1101: [((0, 1), (2, 1), (3, 1))],
+    0b1110: [((1, 0), (3, 0), (2, 0))],
+}
+
+
+def marching_tetrahedra(vol: TSDFVolume, iso: float = 0.0):
+    """Extract the TSDF zero isosurface as a triangle mesh
+    (vertices [V, 3] world coords, faces [F, 3] int indices).
+
+    Vectorized over all surface-crossing tetrahedra of the 6-tet cube
+    decomposition; matches the reference's mesh-extraction role
+    (generate_reconstruction_fly_through.py:130-376, which defers to
+    marching cubes — tetrahedra produce an equivalent watertight
+    isosurface without the 256-case table)."""
+    tsdf = np.asarray(vol.tsdf, np.float32)
+    w = np.asarray(vol.weight, np.float32)
+    dims = tsdf.shape
+    # observed voxels only: unobserved space keeps tsdf=1 and must not
+    # generate faces against observed negatives
+    observed = w > 0
+
+    # candidate cubes: all 8 corners observed, sign change present
+    gx, gy, gz = np.meshgrid(
+        np.arange(dims[0] - 1), np.arange(dims[1] - 1),
+        np.arange(dims[2] - 1), indexing="ij",
+    )
+    base = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [N, 3]
+    corner_idx = base[:, None, :] + _CORNERS[None]  # [N, 8, 3]
+    cx, cy, cz = corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]
+    vals = tsdf[cx, cy, cz]  # [N, 8]
+    obs = observed[cx, cy, cz].all(axis=1)
+    inside = vals < iso
+    cross = inside.any(axis=1) & (~inside.all(axis=1))
+    sel = np.flatnonzero(obs & cross)
+    if len(sel) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    base = base[sel]
+    vals = vals[sel]  # [M, 8]
+    corner_pos = (
+        base[:, None, :] + _CORNERS[None]
+    ).astype(np.float32) * vol.voxel_size + np.asarray(vol.origin)
+
+    tris = []
+    for tet in _TETS:
+        tv = vals[:, tet]  # [M, 4]
+        tp = corner_pos[:, tet]  # [M, 4, 3]
+        case = ((tv < iso) * np.array([1, 2, 4, 8])).sum(axis=1)
+        for c, tri_list in _TET_TRIS.items():
+            rows = np.flatnonzero(case == c)
+            if len(rows) == 0:
+                continue
+            for tri in tri_list:
+                pts = []
+                for a, b in tri:
+                    va, vb = tv[rows, a], tv[rows, b]
+                    t = (iso - va) / np.where(
+                        np.abs(vb - va) < 1e-12, 1e-12, vb - va
+                    )
+                    t = np.clip(t, 0.0, 1.0)[:, None]
+                    pts.append(tp[rows, a] * (1 - t) + tp[rows, b] * t)
+                tris.append(np.stack(pts, axis=1))  # [R, 3, 3]
+    tri_pts = np.concatenate(tris, axis=0)  # [F, 3, 3]
+
+    # weld vertices (quantize to 1e-5 voxel) so faces share indices
+    flat = tri_pts.reshape(-1, 3)
+    keys = np.round(flat / (vol.voxel_size * 1e-5)).astype(np.int64)
+    uniq, index = np.unique(keys, axis=0, return_inverse=True)
+    verts = np.zeros((len(uniq), 3), np.float32)
+    verts[index] = flat
+    faces = index.reshape(-1, 3)
+    # drop degenerate faces
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts, faces[good]
+
+
+def face_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    a = verts[faces[:, 1]] - verts[faces[:, 0]]
+    b = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(a, b)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(norm, 1e-12)
+
+
+def save_ply(path: str, points: np.ndarray, faces: np.ndarray | None = None):
+    """ASCII PLY writer: point cloud, or triangle mesh when faces given."""
     with open(path, "w") as f:
         f.write(
             "ply\nformat ascii 1.0\n"
             f"element vertex {len(points)}\n"
             "property float x\nproperty float y\nproperty float z\n"
-            "end_header\n"
         )
+        if faces is not None:
+            f.write(
+                f"element face {len(faces)}\n"
+                "property list uchar int vertex_indices\n"
+            )
+        f.write("end_header\n")
         for p in points:
             f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+        if faces is not None:
+            for t in faces:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def fly_through(
+    vol: TSDFVolume,
+    cam: PinholeCamera,
+    poses,  # list of SE3 world-from-camera waypoints
+    num_frames: int = 12,
+    point_size: int = 1,
+):
+    """Render shaded frames along an interpolated camera path over the
+    extracted mesh (generate_reconstruction_fly_through.py:378-684's
+    video role). Returns a list of [H, W, 3] uint8 frames.
+
+    Rendering is a z-buffered splat of face centroids shaded by
+    Lambertian |n . view| — headless, no GL dependency."""
+    verts, faces = marching_tetrahedra(vol)
+    if len(faces) == 0:
+        return []
+    centroids = verts[faces].mean(axis=1)  # [F, 3]
+    normals = face_normals(verts, faces)
+
+    # interpolate waypoints linearly (pose chains are short/smooth here)
+    import jax.numpy as jnp  # local: keep numpy the default in this module
+
+    from ..geometry import se3 as se3m
+
+    ts = np.linspace(0, len(poses) - 1, num_frames)
+    frames = []
+    h, w = cam.height, cam.width
+    for t in ts:
+        i = int(np.floor(t))
+        j = min(i + 1, len(poses) - 1)
+        alpha = t - i
+        # interpolate in the tangent space of pose i
+        rel = se3m.compose(se3m.inverse(poses[i]), poses[j])
+        tau = np.array(se3m.se3_log(rel)) * alpha
+        pose = se3m.compose(poses[i], se3m.se3_exp(jnp.asarray(tau)))
+        rot_cw = np.array(pose.rot).T
+        t_w = np.array(pose.trans)
+        pts_c = (centroids - t_w) @ rot_cw.T
+        z = pts_c[:, 2]
+        vis = z > 1e-6
+        u = np.round(
+            pts_c[:, 0] / np.maximum(z, 1e-6) * cam.fx + cam.cx
+        ).astype(np.int64)
+        v = np.round(
+            pts_c[:, 1] / np.maximum(z, 1e-6) * cam.fy + cam.cy
+        ).astype(np.int64)
+        vis &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        # Lambertian shading against the view direction
+        view = (centroids - t_w)
+        view /= np.maximum(np.linalg.norm(view, axis=-1, keepdims=True), 1e-12)
+        shade = np.abs((normals * view).sum(-1))
+        img = np.zeros((h, w, 3), np.float32)
+        zbuf = np.full((h, w), np.inf, np.float32)
+        order = np.argsort(-z[vis])  # far-to-near painter over splats
+        uu, vv, zz, ss = u[vis][order], v[vis][order], z[vis][order], shade[vis][order]
+        for du in range(-point_size + 1, point_size):
+            for dv in range(-point_size + 1, point_size):
+                uc = np.clip(uu + du, 0, w - 1)
+                vc = np.clip(vv + dv, 0, h - 1)
+                img[vc, uc] = ss[:, None] * np.array([0.8, 0.75, 0.7])
+                zbuf[vc, uc] = zz
+        frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return frames
 
 
 def fuse_keyframes(system, dims=(64, 64, 64), margin: float = 0.5):

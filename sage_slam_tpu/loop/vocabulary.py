@@ -97,6 +97,7 @@ def build_vocabulary(
     levels: int = 3,
     kmeans_iters: int = 8,
     seed: int = 0,
+    doc_ids: np.ndarray | None = None,  # [N] per-feature image id
 ) -> Vocabulary:
     """Hierarchical k-means vocabulary with TF-IDF weights
     (DBoW2 create + setNodeWeights semantics)."""
@@ -129,17 +130,45 @@ def build_vocabulary(
         word_ids[nid] = wid
     num_words = len(leaves)
 
-    # TF-IDF-ish weights: idf from the training corpus treated as one
-    # document per leaf occupancy — DBoW2 defaults to idf of per-image
-    # occurrence; with a single training stream we use uniform weights
-    # (the reference ships TF_IDF but the scoring is normalized, so a
-    # constant rescale does not change scores for same-size word sets).
-    weights = np.zeros(num_nodes, np.float32)
-    weights[word_ids >= 0] = 1.0
-
     ch_arr = np.full((num_nodes, k), -1, np.int32)
     for i, ch in enumerate(children):
         ch_arr[i, : len(ch)] = ch
+
+    # TF-IDF word weights (DBoW2 TF_IDF / setNodeWeights,
+    # tensor_vocabulary.cpp:48-128): idf = log(N_docs / n_docs containing
+    # the word), requiring per-feature document (image) ids. Without
+    # doc_ids every feature is one stream and weights fall back to
+    # uniform (scoring is L1-normalized, so a constant rescale only
+    # matters when images produce different-size word sets).
+    weights = np.zeros(num_nodes, np.float32)
+    if doc_ids is not None:
+        voc_uniform = Vocabulary(
+            children=jnp.asarray(ch_arr),
+            descriptors=jnp.asarray(np.stack(nodes_desc)),
+            weights=jnp.ones(num_nodes),
+            word_ids=jnp.asarray(word_ids),
+            num_words=num_words,
+            levels=levels,
+        )
+        wid_per_feat = np.array(descend_to_words(voc_uniform, features))
+        doc_ids = np.asarray(doc_ids)
+        docs = np.unique(doc_ids)
+        n_docs = len(docs)
+        n_with = np.zeros(num_words, np.int64)
+        for d in docs:
+            wids = np.unique(wid_per_feat[doc_ids == d])
+            wids = wids[wids >= 0]
+            n_with[wids] += 1
+        idf = np.zeros(num_words, np.float32)
+        present = n_with > 0
+        idf[present] = np.log(n_docs / n_with[present].astype(np.float64))
+        leaf_nodes = np.flatnonzero(word_ids >= 0)
+        weights[leaf_nodes] = idf[word_ids[leaf_nodes]]
+        if not np.any(weights > 0):
+            # degenerate corpus (every word in every doc): keep uniform
+            weights[word_ids >= 0] = 1.0
+    else:
+        weights[word_ids >= 0] = 1.0
 
     return Vocabulary(
         children=jnp.asarray(ch_arr),
@@ -149,6 +178,28 @@ def build_vocabulary(
         num_words=num_words,
         levels=levels,
     )
+
+
+def descend_to_words(voc: Vocabulary, features) -> jax.Array:
+    """Per-feature word id after the hierarchical descent (-1 only if a
+    feature dead-ends on a childless inner node)."""
+    feats = jnp.asarray(features)
+    n = feats.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    big = jnp.asarray(1e30, feats.dtype)
+    for _ in range(voc.levels):
+        ch = voc.children[node]
+        valid = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        desc = voc.descriptors[ch_safe]
+        dist = jnp.sum((feats[:, None, :] - desc) ** 2, axis=-1)
+        dist = jnp.where(valid, dist, big)
+        has_child = jnp.any(valid, axis=-1)
+        best = jnp.take_along_axis(
+            ch_safe, jnp.argmin(dist, axis=-1)[:, None], axis=-1
+        )[:, 0]
+        node = jnp.where(has_child, best, node)
+    return voc.word_ids[node]
 
 
 def load_dbow2_yaml(path: str) -> Vocabulary:
