@@ -62,15 +62,17 @@ def group_norm(params, x: jax.Array, num_groups: int, eps: float = 1e-5):
 
 
 def max_pool2(x: jax.Array, factor: int = 2) -> jax.Array:
-    """MaxPool kernel=stride=factor on [C, H, W]."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        (1, factor, factor),
-        (1, factor, factor),
-        "VALID",
-    )
+    """MaxPool kernel=stride=factor on [C, H, W].
+
+    Implemented by reshape + max rather than lax.reduce_window: the
+    windowed-max VJP lowers to SelectAndScatter, which TPU XLA rejects
+    for rank-3 operands with a single inactive dim; the reshape form
+    differentiates through plain masked reductions and fuses better."""
+    c, h, w = x.shape
+    hf, wf = h // factor, w // factor
+    x = x[:, : hf * factor, : wf * factor]
+    x = x.reshape(c, hf, factor, wf, factor)
+    return jnp.max(x, axis=(2, 4))
 
 
 def upsample_nearest2(x: jax.Array) -> jax.Array:

@@ -151,13 +151,25 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
         total = jnp.zeros(())
         aux = {}
 
-        # descriptor losses (training.py:453-479)
-        l_rr = losses.rr_loss(
-            f_src["desc_flat"], f_close["desc_flat"],
-            batch["keypoints_src"], batch["gt_match_close"], sigma,
+        # descriptor losses — symmetric relative-response
+        # (training.py:624-638: desc_loss_1 src→close + desc_loss_2
+        # close→src, averaged)
+        l_rr = 0.5 * (
+            losses.rr_loss(
+                f_src["desc_flat"], f_close["desc_flat"],
+                batch["keypoints_src"], batch["gt_match_close"], sigma,
+            )
+            + losses.rr_loss(
+                f_close["desc_flat"], f_src["desc_flat"],
+                batch["gt_match_close"], batch["keypoints_src"], sigma,
+            )
         )
-        l_nm = losses.no_match_loss(
-            f_src["desc_flat"], desc_far_flat, batch["keypoints_src"], sigma
+        # no-match loss against the CLOSE frame at the FAST keypoints
+        # that project outside its mask (training.py:613-621), weighted
+        # to zero when the dataset found no such candidates
+        l_nm = batch["no_match_valid"] * losses.no_match_loss(
+            f_src["desc_flat"], f_close["desc_flat"],
+            batch["no_match_src"], sigma,
         )
         src_cdf = losses.descriptor_cdf_histogram(
             jnp.take(f_src["desc_flat"], batch["keypoints_src"], axis=0)
@@ -168,7 +180,11 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
         far_cdf = losses.descriptor_cdf_histogram(
             jnp.take(desc_far_flat, batch["keypoints_src"], axis=0)
         )
-        l_hist = losses.triplet_histogram_loss(src_cdf, close_cdf, far_cdf)
+        # histogram/triplet loss is valid only when the far frame truly
+        # does not overlap the source (training.py:642-649)
+        l_hist = batch["far_valid"] * losses.triplet_histogram_loss(
+            src_cdf, close_cdf, far_cdf
+        )
         total = (
             total + cfg.desc_weight * l_rr + cfg.no_match_weight * l_nm
             + cfg.hist_weight * l_hist
@@ -248,8 +264,11 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 mean_sq_depth=mean_sq_depth,
                 init_scale=jnp.asarray(1.0),
             )
+            # BA starts from the dataset's perturbed initial pose
+            # (training.py:563-564 init_rotation/init_translation =
+            # the random pose from endoscopy_dataset.py:443-485)
             init = diff_ba.BAState(
-                tau10=jnp.zeros(6),
+                tau10=batch["tau_init"],
                 scale0=jnp.asarray(1.0),
                 code0=jnp.zeros(cs),
             )
@@ -264,15 +283,22 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
             )
             gt_flow = batch["gt_flow"]  # [2, h, w]
             l_flow = losses.normalized_masked_l2_flow_loss(
-                gt_flow[None], pred_flow[None], mask[None, None]
+                gt_flow[None], pred_flow[None],
+                (mask * batch["flow_mask"])[None, None],
             )
             total = total + cfg.flow_weight * l_flow
             aux["flow"] = l_flow
         else:
             pred_depth = f_src["bias_flat"].reshape(h, w)
 
-        l_depth = losses.scale_invariant_depth_loss(
+        # depth supervision: 0.75 src + 0.25 close network bias
+        # (training.py:600-607)
+        l_depth = 0.75 * losses.scale_invariant_depth_loss(
             batch["depth_src"][None], pred_depth[None], mask[None]
+        ) + 0.25 * losses.scale_invariant_depth_loss(
+            batch["depth_close"][None],
+            f_close["bias_flat"].reshape(h, w)[None],
+            mask[None],
         )
         basis = f_src["jac_flat"].T.reshape(1, cs, h, w)
         l_decor = losses.basis_decorrelation_loss(basis, mask[None, None])
@@ -465,7 +491,11 @@ def train(
 
 
 def triplet_to_batch(t: Triplet, cam) -> dict:
-    """Host-side conversion incl. GT rigid flow for the joint phase."""
+    """Host-side conversion incl. GT rigid flow for the joint phase
+    (utils/processing.py:8 generate_dense_flow_map role: the flow mask
+    keeps positive-warped-depth, in-bounds pixels only)."""
+    from ..geometry import se3 as se3m
+
     h, w = t.depth_src.shape
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     z = np.maximum(t.depth_src, 1e-6)
@@ -478,15 +508,44 @@ def triplet_to_batch(t: Triplet, cam) -> dict:
     gt_flow = np.stack(
         [u.reshape(h, w) - xs, v.reshape(h, w) - ys], 0
     ).astype(np.float32)
+    flow_mask = (
+        (warped[2] > 1e-6) & (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
+    ).reshape(h, w).astype(np.float32)
+
+    init_rel = (
+        t.init_rel_pose
+        if t.init_rel_pose is not None
+        else t.rel_pose_close_src
+    )
+    tau_init = se3m.se3_log(
+        se3m.SE3(
+            rot=jnp.asarray(init_rel[:3, :3], jnp.float32),
+            trans=jnp.asarray(init_rel[:3, 3], jnp.float32),
+        )
+    )
+    no_match = (
+        t.no_match_src if t.no_match_src is not None else t.keypoints_src
+    )
     return dict(
         image_src=jnp.asarray(t.image_src),
         image_close=jnp.asarray(t.image_close),
         image_far=jnp.asarray(t.image_far),
         mask=jnp.asarray(t.mask),
         depth_src=jnp.asarray(t.depth_src),
+        depth_close=jnp.asarray(t.depth_close),
         keypoints_src=jnp.asarray(t.keypoints_src),
         gt_match_close=jnp.asarray(t.gt_match_close),
+        no_match_src=jnp.asarray(no_match),
+        no_match_valid=jnp.asarray(
+            t.no_match_valid if t.no_match_src is not None else 0.0,
+            jnp.float32,
+        ),
+        far_valid=jnp.asarray(
+            1.0 if t.far_overlap_valid else 0.0, jnp.float32
+        ),
+        tau_init=tau_init,
         gt_flow=jnp.asarray(gt_flow),
+        flow_mask=jnp.asarray(flow_mask),
     )
 
 
