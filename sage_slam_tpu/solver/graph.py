@@ -53,14 +53,27 @@ class Variables(NamedTuple):
         return 7 + self.code_size
 
     def apply_delta(self, delta: jax.Array, update_mask: jax.Array) -> "Variables":
-        """delta [K, 23]; update_mask [K] gates frozen keyframes."""
+        """delta [K, 23]; update_mask [K] gates frozen keyframes, or
+        [K, block_dim] gates individual components (the aux pose-only
+        frame variable, gtsam_utils.h:10 AuxPoseKey: pose free, code and
+        scale frozen)."""
         cs = self.code_size
-        m = update_mask[:, None]
-        pose_delta = delta[:, :6] * m
+        m = expand_mask(update_mask, self.block_dim)
+        pose_delta = delta[:, :6] * m[:, :6]
         new_pose = retract(self.pose, pose_delta)
-        new_code = self.code + delta[:, 6 : 6 + cs] * m
-        new_scale = self.scale + delta[:, 6 + cs] * update_mask
+        new_code = self.code + delta[:, 6 : 6 + cs] * m[:, 6 : 6 + cs]
+        new_scale = self.scale + delta[:, 6 + cs] * m[:, 6 + cs]
         return Variables(new_pose, new_code, new_scale)
+
+
+def expand_mask(update_mask: jax.Array, block_dim: int) -> jax.Array:
+    """Normalize a per-keyframe [K] or per-component [K, block_dim]
+    update mask to [K, block_dim]."""
+    if update_mask.ndim == 1:
+        return jnp.broadcast_to(
+            update_mask[:, None], (update_mask.shape[0], block_dim)
+        )
+    return update_mask
 
 
 def slot_indices(kf_idx: jax.Array, block_dim: int, sel: jax.Array) -> jax.Array:
@@ -111,8 +124,11 @@ def scatter_hessian(
 
 
 class LMState(NamedTuple):
-    variables: Variables
+    variables: Variables  # last ACCEPTED variables
     error: jax.Array  # total graph error at `variables`
+    h: jax.Array  # [D, D] linearization at `variables`
+    b: jax.Array  # [D]
+    candidate: Variables  # tentative point awaiting evaluation
     damping: jax.Array
     iteration: jax.Array
     converged: jax.Array  # bool: conv_fn fired on an accepted step
@@ -121,8 +137,8 @@ class LMState(NamedTuple):
 def lm_loop(
     variables: Variables,
     linearize_fn,  # vars -> (H [D,D], b [D], error scalar)
-    error_fn,  # vars -> error scalar
-    update_mask: jax.Array,  # [K]
+    error_fn,  # vars -> error scalar (used ONCE, for the final candidate)
+    update_mask: jax.Array,  # [K] per-keyframe or [K, bd] per-component
     max_iters: int,
     init_damp: float = 1e-4,
     min_damp: float = 1e-6,
@@ -132,12 +148,26 @@ def lm_loop(
     min_error_dec: float = 0.0,
     conv_fn=None,  # delta [K, bd] -> bool; converged on accepted step
 ):
-    """Damped GN (Levenberg-Marquardt) in a lax.while_loop.
+    """Deferred-acceptance damped GN (Levenberg-Marquardt) in one
+    lax.while_loop. Entirely on device; no host round-trips (the
+    reference's per-iteration Eigen-solve hop, camera_tracker.cpp:1182,
+    disappears).
 
-    One iteration = linearize -> damped solve -> tentative retract ->
-    accept (and decrease damping) or reject (increase damping). Entirely
-    on device; no host round-trips (the reference's per-iteration
-    Eigen-solve hop, camera_tracker.cpp:1182, disappears).
+    One iteration = linearize the CANDIDATE -> accept/reject against the
+    last accepted error -> damped solve from the accepted linearization
+    -> retract the next candidate. The linearization's error term IS the
+    total error at the candidate (same per-factor formulas), so the
+    in-loop accept test needs NO separate error-only evaluation — on the
+    measured v5e profile that evaluation (two narrow per-point gathers +
+    dense coarse levels, ~1.1 ms of a ~3.9 ms global-BA iteration,
+    docs/PERFORMANCE.md) is the price this formulation deletes:
+    ``max_iters`` step decisions cost max_iters linearizations plus ONE
+    trailing ``error_fn`` pass (for the last candidate, which no later
+    linearization evaluates), vs. linearize+error per step before. A
+    rejected step re-solves the STORED (H, b) of the accepted point
+    under higher damping without relinearizing — the classic LM retry,
+    which the evaluate-then-accept formulation paid a full duplicate
+    linearization for.
 
     ``conv_fn`` is the ISAM2 relinearization-threshold analog: when the
     accepted step's delta falls below the caller's thresholds the loop
@@ -148,6 +178,7 @@ def lm_loop(
     bd = variables.block_dim
     dim = k * bd
     dtype = variables.scale.dtype
+    mask2d = expand_mask(update_mask, bd)  # [K, bd]
 
     def cond(state: LMState):
         return jnp.logical_and(
@@ -158,18 +189,29 @@ def lm_loop(
         )
 
     def body(state: LMState):
-        # the linearization's error IS the total error at the current
-        # variables (same per-factor formulas), so it serves as the
-        # accept baseline — no separate error_fn pass at the current point
-        h, b, err0 = linearize_fn(state.variables)
+        h_c, b_c, err_c = linearize_fn(state.candidate)
+        # first iteration always accepts: state.error starts at +inf
+        accept = err_c < state.error - min_error_dec
+
+        def sel(a, b_):
+            return jnp.where(accept, a, b_)
+
+        nvars = jax.tree.map(sel, state.candidate, state.variables)
+        nerr = sel(err_c, state.error)
+        h = sel(h_c, state.h)
+        b = sel(b_c, state.b)
+        ndamp = jnp.where(
+            accept,
+            jnp.maximum(state.damping / damp_dec, min_damp),
+            state.damping * damp_inc,
+        )
+
         diag = jnp.diagonal(h)
         h_damped = (
-            h
-            + jnp.diag(state.damping * diag)
-            + min_damp * jnp.eye(dim, dtype=dtype)
+            h + jnp.diag(ndamp * diag) + min_damp * jnp.eye(dim, dtype=dtype)
         )
-        # mask out frozen keyframes: identity rows/cols, zero rhs
-        free = jnp.repeat(update_mask, bd)
+        # mask out frozen keyframes/components: identity rows/cols, zero rhs
+        free = mask2d.reshape(-1)
         h_masked = (
             h_damped * free[:, None] * free[None, :]
             + jnp.diag(1.0 - free)
@@ -178,41 +220,43 @@ def lm_loop(
         chol, low = jax.scipy.linalg.cho_factor(h_masked)
         delta = jax.scipy.linalg.cho_solve((chol, low), b_masked)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        candidate = state.variables.apply_delta(
-            delta.reshape(k, bd), update_mask
-        )
-        new_error = error_fn(candidate)
-        accept = new_error < err0 - min_error_dec
-        next_vars = jax.tree.map(
-            lambda a, b_: jnp.where(accept, a, b_),
-            candidate,
-            state.variables,
-        )
-        next_err = jnp.where(accept, new_error, err0)
-        next_damp = jnp.where(
-            accept,
-            jnp.maximum(state.damping / damp_dec, min_damp),
-            state.damping * damp_inc,
-        )
+        candidate = nvars.apply_delta(delta.reshape(k, bd), update_mask)
         if conv_fn is not None:
+            # gate on accept: a post-reject delta is small because the
+            # damping is high, not because the graph converged
             conv = jnp.logical_and(
-                accept, conv_fn(delta.reshape(k, bd) * update_mask[:, None])
+                accept, conv_fn(delta.reshape(k, bd) * mask2d)
             )
         else:
             conv = jnp.asarray(False)
         return LMState(
-            next_vars, next_err, next_damp, state.iteration + 1, conv
+            nvars, nerr, h, b, candidate, ndamp, state.iteration + 1, conv
         )
 
+    h0, b0 = empty_system(k, bd, dtype)
     init = LMState(
         variables,
         jnp.asarray(jnp.inf, dtype),
+        h0,
+        b0,
+        variables,
         jnp.asarray(init_damp, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final.variables, final.error, final.iteration
+    # the loop's last candidate was retracted but never linearized —
+    # evaluate it once so a call makes exactly `max_iters` step
+    # decisions (and a max_iters=1 call actually moves)
+    err_c = error_fn(final.candidate)
+    accept = err_c < final.error - min_error_dec
+    out_vars = jax.tree.map(
+        lambda a, b_: jnp.where(accept, a, b_),
+        final.candidate,
+        final.variables,
+    )
+    out_err = jnp.where(accept, err_c, final.error)
+    return out_vars, out_err, final.iteration
 
 
 def empty_system(num_kf: int, block_dim: int, dtype=jnp.float32):

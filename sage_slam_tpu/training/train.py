@@ -392,7 +392,7 @@ def make_eval_step(cam_pyr, depth_cfg, feat_cfg, cfg, joint):
     def step(state: TrainState, batch, key):
         gen_params = {k: v for k, v in state.params.items() if k != "disc"}
         loss, aux = loss_fn(gen_params, state.params["disc"], batch, key)
-        return loss, {k: v for k, v in aux.items() if k != "pred_depth"}
+        return loss, aux  # aux keeps pred_depth for the image logger
 
     return step
 
@@ -421,6 +421,32 @@ class ScalarLogger:
             self._fh = None
 
 
+class ImageLogger:
+    """PNG image logger — the TensorBoard add_image role
+    (training.py:717-751 stack_and_display: depth panels and descriptor
+    heatmaps written at a display frequency). Writes one normalized
+    grayscale PNG per (step, tag) under `dirpath`."""
+
+    def __init__(self, dirpath: Optional[str]):
+        self.dir = dirpath
+        if dirpath:
+            os.makedirs(dirpath, exist_ok=True)
+
+    def log(self, step: int, tag: str, img: np.ndarray):
+        if not self.dir:
+            return
+        from PIL import Image
+
+        a = np.asarray(img, np.float32)
+        if a.ndim == 3:  # [C, H, W] -> first channel
+            a = a[0]
+        lo, hi = float(a.min()), float(a.max())
+        a = (a - lo) / max(hi - lo, 1e-9)
+        Image.fromarray((255 * a).astype(np.uint8)).save(
+            os.path.join(self.dir, f"{step:06d}_{tag}.png")
+        )
+
+
 def train(
     triplets,
     cam,
@@ -433,6 +459,7 @@ def train(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     log_path: Optional[str] = None,
+    image_log_dir: Optional[str] = None,
 ):
     """Epoch driver with the reference's two-phase curriculum and a
     held-out evaluation split (training.py:254-420, 937): the last
@@ -454,6 +481,7 @@ def train(
 
     steps = {}
     logger = ScalarLogger(log_path)
+    imlog = ImageLogger(image_log_dir)
     history = []
     try:
         for epoch in range(state.epoch, num_epochs):
@@ -474,9 +502,22 @@ def train(
                     dict(loss=loss, **aux),
                 )
             ev = {}
-            for batch in batches_eval:
+            for bi, batch in enumerate(batches_eval):
                 key, sub = jax.random.split(key)
                 loss, aux = steps[("eval", joint)](state, batch, sub)
+                pred_depth = aux.pop("pred_depth")
+                if bi == 0:
+                    # depth panels for the first eval sample
+                    # (training.py:717-751 display role)
+                    imlog.log(int(state.step), "pred_depth", np.asarray(pred_depth))
+                    imlog.log(
+                        int(state.step), "gt_depth", np.asarray(batch["depth_src"])
+                    )
+                    imlog.log(
+                        int(state.step), "depth_err",
+                        np.abs(np.asarray(pred_depth) - np.asarray(batch["depth_src"]))
+                        * np.asarray(batch["mask"]),
+                    )
                 for k, v in dict(loss=loss, **aux).items():
                     ev.setdefault(k, []).append(float(v))
             ev_mean = {k: float(np.mean(v)) for k, v in ev.items()}

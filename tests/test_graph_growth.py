@@ -110,3 +110,47 @@ def test_full_step_frees_all_keyframes():
     _grow(system, data, 6)
     err = system.refine_mapping(1)
     assert np.isfinite(err)
+
+
+def test_aux_frame_pose_only():
+    """A non-keyframe refinement frame enters the window as a pose-only
+    variable (AuxPoseKey, gtsam_utils.h:10, df_work.cpp:41): BA moves its
+    pose but leaves its code and scale frozen, while regular keyframes
+    keep optimizing all blocks."""
+    import jax
+
+    from sage_slam_tpu.geometry import se3 as se3m
+
+    system, data = tiny_system(num_frames=6, max_keyframes=8)
+    _grow(system, data, 4)
+    mp = system.mapper
+    store = system.store
+    ref_id = store.num_active - 1
+
+    # a frame near the last keyframe with a perturbed initial pose
+    rec = list(data.frames())[4]
+    guess = se3m.retract(
+        store.pose(ref_id), jnp.asarray([0.01, -0.005, 0.0, 0.0, 0.0, 0.01])
+    )
+    fr = mp.build_frame(rec.timestamp, jnp.asarray(rec.image), pose=guess)
+    fid = mp.enqueue_frame(fr, ref_id)
+    assert store.aux[fid]
+    assert (ref_id, fid) in mp.photo_edges
+    # one-way only: the frame is never a photometric source
+    assert (fid, ref_id) not in mp.photo_edges
+
+    code0 = np.array(store.variables.code[fid])
+    scale0 = float(store.variables.scale[fid])
+    trans0 = np.array(store.variables.pose.trans[fid])
+    kf_code0 = np.array(store.variables.code[ref_id])
+
+    err = mp.mapping_step(max_iters=3)
+    assert np.isfinite(err)
+
+    # frozen blocks of the aux frame did not move
+    np.testing.assert_array_equal(np.array(store.variables.code[fid]), code0)
+    assert float(store.variables.scale[fid]) == scale0
+    # its pose DID move (the photometric factor pulls it)
+    assert np.abs(np.array(store.variables.pose.trans[fid]) - trans0).max() > 0
+    # a regular keyframe still optimizes its code
+    assert np.abs(np.array(store.variables.code[ref_id]) - kf_code0).max() > 0

@@ -262,10 +262,18 @@ def test_train_driver_with_eval_split(tmp_path):
     triplets = [ds.sample() for _ in range(3)]
     log = os.path.join(tmp_path, "scalars.jsonl")
     ckpt = os.path.join(tmp_path, "ckpt.npz")
+    imgdir = os.path.join(tmp_path, "images")
     state, history = train.train(
         triplets, ds.cam, depth_cfg, feat_cfg, disc_cfg, cfg,
         num_epochs=2, checkpoint_path=ckpt, log_path=log,
+        image_log_dir=imgdir,
     )
+    # image logging (training.py:717-751 display role): depth panels
+    # written for the first eval sample each epoch
+    pngs = os.listdir(imgdir)
+    assert any("pred_depth" in p for p in pngs)
+    assert any("gt_depth" in p for p in pngs)
+    assert any("depth_err" in p for p in pngs)
     assert state.epoch == 2
     # both phases ran: epoch 0 separate, epoch 1 joint
     assert [hh["joint"] for hh in history] == [False, True]
@@ -336,4 +344,55 @@ def test_train_step_runs_both_phases():
         np.testing.assert_allclose(
             np.array(restored.params["log_sigma"]),
             np.array(state.params["log_sigma"]),
+        )
+
+
+def test_export_networks_roundtrip(tmp_path):
+    """Training-checkpoint -> per-net runtime export -> reload parity
+    (the reference's TorchScript export role, training.py:189-197):
+    exported npz files load through load_torch_state_dict and reproduce
+    the training-time network outputs exactly."""
+    import os
+
+    from sage_slam_tpu.models.partial_unet import load_torch_state_dict
+    from sage_slam_tpu.training import export
+
+    h, w = 16, 20
+    cs, fs = 4, 8
+    depth_cfg = depth_network.DepthNetConfig(
+        filter_list=(4, 8), bottleneck=8, bias_inner=(8, 1),
+        basis_inner=((8, cs),),
+    )
+    feat_cfg = feature_network.FeatureNetConfig(
+        filter_list=(4, 8), bottleneck=8, desc_inner=(8, fs),
+        map_inner=(8, fs),
+    )
+    disc_cfg = discriminator.DiscConfig(
+        img_height=h, img_width=w, num_blocks=2, filter_base=4
+    )
+    cfg = train.TrainConfig(pyramid_levels=2)
+    state, _, _ = train.init_state(
+        jax.random.key(7), depth_cfg, feat_cfg, disc_cfg, cfg
+    )
+    paths = export.export_networks(state, os.path.join(tmp_path, "net"))
+    assert set(paths) == {"depth", "feat", "disc", "ba"}
+
+    # fresh params + exported npz == original outputs
+    fresh = depth_network.init_params(jax.random.key(99), depth_cfg)
+    loaded = load_torch_state_dict(fresh, dict(np.load(paths["depth"])))
+    img = jnp.asarray(
+        np.random.default_rng(0).random((3, 2 * h, 2 * w)), jnp.float32
+    )
+    mask = jnp.ones((1, 2 * h, 2 * w))
+    b0, j0 = depth_network.apply(state.params["depth"], img, mask, depth_cfg)
+    b1, j1 = depth_network.apply(loaded, img, mask, depth_cfg)
+    np.testing.assert_array_equal(np.array(b0), np.array(b1))
+    np.testing.assert_array_equal(np.array(j0), np.array(j1))
+
+    # BA weights roundtrip
+    ba2 = export.load_ba_params(paths["ba"], state.params["ba"])
+    for name in state.params["ba"]._fields:
+        np.testing.assert_array_equal(
+            np.array(getattr(ba2, name)),
+            np.array(getattr(state.params["ba"], name)),
         )
