@@ -72,6 +72,11 @@ class MapperConfig:
     gn_damp_inc_factor: float = 10.0
     dpt_eps: float = 1.0e-6
     refine_mapping_iters: int = 10
+    # RefineMapping convergence (the ISAM2 relinearization-threshold
+    # analog, deepfactors.cpp:296-313): the full-graph LM stops once an
+    # accepted step's gradient or parameter increment falls below these
+    relin_grad_thresh: float = 1.0e-4
+    relin_param_inc_thresh: float = 1.0e-3
     # photometric J^T W J reduce backend: "xla" (fused dot_generals) or
     # "pallas" (ops/pallas_kernels.photo_reduce_pallas, one fused Mosaic
     # kernel; numerically equivalent, benchmarked within ~5% of each

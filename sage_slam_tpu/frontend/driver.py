@@ -14,11 +14,18 @@ deepfactors.cpp:1495-1505):
 JAX dispatch is thread-safe; device programs serialize on the chip but
 host-side orchestration overlaps, matching the reference's design where
 one GPU serializes the actual kernels anyway (SURVEY.md §2.4).
+
+Concurrency model (round-3): there is NO driver-level lock. The
+backends snapshot the keyframe store under its short internal lock,
+solve with the lock released, and merge with per-row version checks
+(keyframe_store.py) — so a ~300 ms mapping solve no longer stalls the
+frontend, exactly like the reference's mapping pthread running beside
+ProcessFrame (deepfactors.cpp:1495-1505, per-KF shared_mutex
+frame.h:98).
 """
 
 from __future__ import annotations
 
-import threading
 from typing import Optional
 
 from .. import native
@@ -32,7 +39,6 @@ class SlamDriver:
         self.use_native = use_native_threads
         self.runtime: Optional[native.Runtime] = None
         self.kf_queue: Optional[native.TaskQueue] = None
-        self._lock = threading.Lock()
         self._running = False
 
     # ------------------------------------------------------------------
@@ -63,9 +69,9 @@ class SlamDriver:
     def _mapping_tick(self):
         timing.tic("mapping_tick")
         try:
-            with self._lock:
-                if self.system.store.num_active >= 2:
-                    self.system.mapper.mapping_step()
+            if self.system.store.num_active >= 2:
+                # snapshot->solve->merge internally; overlaps the frontend
+                self.system.mapper.mapping_step()
         finally:
             timing.toc("mapping_tick")
 
@@ -76,9 +82,8 @@ class SlamDriver:
         # faster than the loop rate are still searched eventually
         if self.kf_queue is not None:
             self.kf_queue.pop(timeout_ms=50)
-        with self._lock:
-            self.system.local_loop_tick()
-            self.system.global_loop_tick()
+        self.system.local_loop_tick()
+        self.system.global_loop_tick()
 
     # ------------------------------------------------------------------
 
@@ -98,8 +103,7 @@ class SlamDriver:
                     self.system.bootstrap(rec.timestamp, img)
                     continue
                 timing.tic("process_frame")
-                with self._lock:
-                    res = self.system.process_frame(rec.timestamp, img)
+                res = self.system.process_frame(rec.timestamp, img)
                 timing.toc("process_frame")
                 results.append(res)
                 if res.new_keyframe:

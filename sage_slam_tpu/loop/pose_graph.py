@@ -186,13 +186,13 @@ def optimize(
         cfg.pose_scale_graph_max_iters
     )
 
-    def converged(delta):
+    def converged(delta, grad):
         # delta [K, 7] = [pose(6), scale(1)], frozen rows already zeroed
         pose_ok = jnp.max(jnp.abs(delta[:, :6])) < cfg.pose_linearize_threshold
         scale_ok = jnp.max(jnp.abs(delta[:, 6])) < cfg.scale_linearize_threshold
         return jnp.logical_and(pose_ok, scale_ok)
 
-    return graph.lm_loop(
+    v, e, it, _ = graph.lm_loop(
         variables,
         lambda v: linearize(v, edges, pr, cfg),
         lambda v: error_only(v, edges, pr, cfg),
@@ -205,6 +205,7 @@ def optimize(
         damp_inc=10.0,
         conv_fn=converged,
     )
+    return v, e, it
 
 
 def make_pose_scale_variables(pose: SE3, scale: jax.Array) -> Variables:

@@ -16,6 +16,7 @@ reconciliation protocol (frame.h:124, mapper.cpp:1164).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, List, Optional, Set
 
 import jax
@@ -170,9 +171,25 @@ class KeyframeStore:
         # code and scale stay frozen in BA (gtsam_utils.h:10 AuxPoseKey,
         # df_work.cpp:41 `IsKeyframe() ? PoseKey : AuxPoseKey`)
         self.aux = np.zeros(k, bool)
+        # --- concurrency (the per-keyframe shared_mutex + reinitialize
+        # protocol of the reference, frame.h:98/:124, re-expressed for
+        # functional device arrays):
+        # * `lock` guards multi-field mutations and snapshot reads; long
+        #   device solves run OUTSIDE it against an immutable snapshot,
+        # * `version[i]` bumps whenever row i is (re)written by the
+        #   frontend (add) or a loop closure; a backend merging its solve
+        #   keeps the store's value for any row whose version moved while
+        #   it was solving (the mapper.cpp:1164 "loop closure wins" rule,
+        #   generalized to any concurrent writer).
+        self.lock = threading.RLock()
+        self.version = np.zeros(k, np.int64)
 
     def add(self, fr: FrameData) -> int:
         """Append a keyframe; returns its id (= row index)."""
+        with self.lock:
+            return self._add_locked(fr)
+
+    def _add_locked(self, fr: FrameData) -> int:
         i = self.num_active
         if i >= self.capacity:
             raise RuntimeError("keyframe store capacity exceeded")
@@ -248,6 +265,7 @@ class KeyframeStore:
             self.jac_at = set_row(self.jac_at, i, fr.jac_at)
         self.timestamps.append(fr.timestamp)
         self.links[i] = set()
+        self.version[i] += 1
         self.num_active += 1
         return i
 
@@ -296,27 +314,52 @@ class KeyframeStore:
         Keyframes with reinitialize_count > 0 keep their loop-closure
         values (mapper.cpp:1164)."""
         if skip_reinitialized and self.reinitialize_count.any():
-            keep = jnp.asarray(
-                (self.reinitialize_count > 0).astype(np.float32)
-            )[:, None]
-            keep3 = keep[..., None]
-            merged = Variables(
-                pose=SE3(
-                    jnp.where(
-                        keep3, self.variables.pose.rot, variables.pose.rot
-                    ),
-                    jnp.where(
-                        keep, self.variables.pose.trans, variables.pose.trans
-                    ),
-                ),
-                code=jnp.where(keep, self.variables.code, variables.code),
-                scale=jnp.where(
-                    keep[:, 0], self.variables.scale, variables.scale
-                ),
+            self._merge_keep(
+                variables, self.reinitialize_count > 0
             )
-            self.variables = merged
         else:
             self.variables = variables
+
+    def snapshot(self):
+        """Consistent (num_active, version.copy(), variables) triple for
+        a backend solve; call under `lock`."""
+        return self.num_active, self.version.copy(), self.variables
+
+    def merge_variables(
+        self, variables: Variables, snap_version: np.ndarray, snap_n: int
+    ):
+        """Merge a backend's solved variables against concurrent writes
+        (call under `lock`): a row keeps the STORE's current value when
+        it was created after the snapshot (the solve never optimized it)
+        or its version moved during the solve (a loop closure rewrote it
+        — loop wins, mapper.cpp:1164); every other row takes the solve's
+        value."""
+        keep = self.version != snap_version
+        keep[snap_n:] = True
+        self._merge_keep(variables, keep)
+
+    def _merge_keep(self, variables: Variables, keep_rows: np.ndarray):
+        """Write `variables` into the store except rows where
+        keep_rows[i] is True (those keep the store's current value)."""
+        if not keep_rows.any():
+            self.variables = variables
+            return
+        keep = jnp.asarray(keep_rows.astype(np.float32))[:, None]
+        keep3 = keep[..., None]
+        self.variables = Variables(
+            pose=SE3(
+                jnp.where(
+                    keep3, self.variables.pose.rot, variables.pose.rot
+                ),
+                jnp.where(
+                    keep, self.variables.pose.trans, variables.pose.trans
+                ),
+            ),
+            code=jnp.where(keep, self.variables.code, variables.code),
+            scale=jnp.where(
+                keep[:, 0], self.variables.scale, variables.scale
+            ),
+        )
 
     def pose(self, i: int) -> SE3:
         return SE3(

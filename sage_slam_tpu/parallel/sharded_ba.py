@@ -115,9 +115,9 @@ def make_sharded_step(
     cam_pyr: CameraPyramid, cfg, mesh: Mesh, max_iters: int
 ):
     """Jitted (variables, window, photo_edges, geo_edges, priors,
-    update_mask) -> (variables, error, iterations) for the edge-sharded
-    LM loop, cached so repeated calls reuse the compiled executable
-    (jit then caches per argument shapes)."""
+    update_mask) -> (variables, error, iterations, converged) for the
+    edge-sharded LM loop, cached so repeated calls reuse the compiled
+    executable (jit then caches per argument shapes)."""
     key = (cam_pyr, cfg, mesh, max_iters)
     hit = _STEP_CACHE.get(key)
     if hit is not None:
@@ -188,7 +188,7 @@ def sharded_run_ba(
     max_iters: int = 4,
 ):
     """Run the LM loop with edge-sharded linearization. Returns
-    (variables, error, iterations), replicated."""
+    (variables, error, iterations, converged), replicated."""
     fn = make_sharded_step(cam_pyr, cfg, mesh, max_iters)
     assert problem.reproj_edges is not None, (
         "sharded_run_ba requires shard_problem() first (it synthesizes an "
@@ -297,7 +297,7 @@ def dryrun(n_devices: int) -> None:
         se3_exp(jnp.asarray(taus)), jnp.zeros((k, cs)), jnp.ones(k)
     )
     cfg = MapperConfig()
-    v, err, iters = sharded_run_ba(
+    v, err, iters, _ = sharded_run_ba(
         variables, problem, pyr, cfg, jnp.ones(k), mesh, max_iters=2
     )
     jax.block_until_ready(v)

@@ -568,10 +568,28 @@ def run_ba(
     cfg,
     update_mask: jax.Array,
     max_iters: int | None = None,
+    use_conv: bool = False,
 ):
-    """Window BA: damped GN until convergence/budget. Fully jittable."""
+    """Window BA: damped GN until convergence/budget. Fully jittable.
+
+    Returns (variables, error, iterations, converged). With
+    ``use_conv=True`` the LM loop stops early once an accepted step's
+    gradient or parameter increment drops below the mapper's
+    relinearization thresholds (cfg.relin_grad_thresh /
+    cfg.relin_param_inc_thresh) — the reference's RefineMapping iterates
+    ISAM2 update() only while variables relinearize
+    (live_demo.cpp:252-257, deepfactors.cpp:296-313)."""
     iters = max_iters if max_iters is not None else cfg.max_gn_iters
     problem = prepare_problem(problem, cam_pyr)
+    conv_fn = None
+    if use_conv:
+
+        def conv_fn(delta, grad):
+            return jnp.logical_or(
+                jnp.max(jnp.abs(grad)) < cfg.relin_grad_thresh,
+                jnp.max(jnp.abs(delta)) < cfg.relin_param_inc_thresh,
+            )
+
     return graph.lm_loop(
         variables,
         lambda v: linearize(v, problem, cam_pyr, cfg),
@@ -583,4 +601,5 @@ def run_ba(
         max_damp=cfg.gn_max_damp,
         damp_dec=cfg.gn_damp_dec_factor,
         damp_inc=cfg.gn_damp_inc_factor,
+        conv_fn=conv_fn,
     )

@@ -146,7 +146,7 @@ def lm_loop(
     damp_dec: float = 10.0,
     damp_inc: float = 10.0,
     min_error_dec: float = 0.0,
-    conv_fn=None,  # delta [K, bd] -> bool; converged on accepted step
+    conv_fn=None,  # (delta [K, bd], grad [K, bd]) -> bool; on accepted step
 ):
     """Deferred-acceptance damped GN (Levenberg-Marquardt) in one
     lax.while_loop. Entirely on device; no host round-trips (the
@@ -225,7 +225,11 @@ def lm_loop(
             # gate on accept: a post-reject delta is small because the
             # damping is high, not because the graph converged
             conv = jnp.logical_and(
-                accept, conv_fn(delta.reshape(k, bd) * mask2d)
+                accept,
+                conv_fn(
+                    delta.reshape(k, bd) * mask2d,
+                    b_masked.reshape(k, bd),
+                ),
             )
         else:
             conv = jnp.asarray(False)
@@ -256,7 +260,7 @@ def lm_loop(
         final.variables,
     )
     out_err = jnp.where(accept, err_c, final.error)
-    return out_vars, out_err, final.iteration
+    return out_vars, out_err, final.iteration, final.converged
 
 
 def empty_system(num_kf: int, block_dim: int, dtype=jnp.float32):

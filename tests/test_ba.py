@@ -144,7 +144,7 @@ def test_ba_recovers_perturbed_poses():
     run = jax.jit(
         lambda v: ba.run_ba(v, problem, pyr, cfg, update_mask, max_iters=12)
     )
-    v_final, err_final, iters = run(v0)
+    v_final, err_final, iters, _ = run(v0)
     err_final = float(err_final)
 
     assert err_final < err_init * 0.05, (err_init, err_final)
@@ -164,7 +164,7 @@ def test_ba_respects_update_mask():
     cfg = MapperConfig()
     v0 = perturbed_vars(k, cs)
     frozen = jnp.asarray([1.0, 0.0, 1.0])  # freeze kf1
-    v_final, _, _ = ba.run_ba(v0, problem, pyr, cfg, frozen, max_iters=3)
+    v_final, _, _, _ = ba.run_ba(v0, problem, pyr, cfg, frozen, max_iters=3)
     np.testing.assert_allclose(
         np.array(v_final.pose.trans[1]), np.array(v0.pose.trans[1]), atol=0
     )

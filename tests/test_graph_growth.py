@@ -63,11 +63,11 @@ def test_windowed_step_matches_full_edges_step():
         <= full_problem.photo_edges.i0.shape[0]
     )
 
-    v_full, err_full, _ = ba.run_ba(
+    v_full, err_full, _, _ = ba.run_ba(
         system.store.variables, full_problem, mp.cam_pyr, mp.cfg.mapper,
         umask, max_iters=3,
     )
-    v_win, err_win, _ = ba.run_ba(
+    v_win, err_win, _, _ = ba.run_ba(
         system.store.variables, win_problem, mp.cam_pyr, mp.cfg.mapper,
         umask, max_iters=3,
     )
@@ -154,3 +154,32 @@ def test_aux_frame_pose_only():
     assert np.abs(np.array(store.variables.pose.trans[fid]) - trans0).max() > 0
     # a regular keyframe still optimizes its code
     assert np.abs(np.array(store.variables.code[ref_id]) - kf_code0).max() > 0
+
+
+def test_refine_mapping_converges_early():
+    """RefineMapping must stop once the full-graph LM's relinearization
+    thresholds fire on an already-converged map (round-2 verdict #6;
+    live_demo.cpp:252-257 iterates only while something relinearizes)."""
+    system, data = tiny_system(num_frames=6, max_keyframes=8)
+    _grow(system, data, 6)
+    # converge the map first with a generous budget
+    system.refine_mapping(6)
+    # a second refine on the converged map must exit early: with loose
+    # thresholds the very first accepted step's delta is sub-threshold
+    budget = system.cfg.mapper.max_gn_iters  # per-step LM budget
+    # frozen dataclass: rebuild the config with loose thresholds
+    system.mapper.cfg = dataclasses.replace(
+        system.cfg,
+        mapper=dataclasses.replace(
+            system.cfg.mapper,
+            relin_param_inc_thresh=1.0,
+            relin_grad_thresh=1e-12,
+        ),
+    )
+    system.cfg = system.mapper.cfg
+    system.mapper._ba_cache.clear()  # thresholds are baked into the jit
+    system.refine_mapping(4)
+    assert system.mapper.last_step_converged
+    # the convergence check fired before exhausting the LM budget of the
+    # final step, and refine stopped after that one converged step
+    assert system.refine_iterations < 4 * budget

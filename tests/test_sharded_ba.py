@@ -29,13 +29,13 @@ def test_sharded_matches_single_device_with_reproj():
     v0 = perturbed_vars(k, cs)
     mask = jnp.ones(k)
 
-    v_single, err_single, _ = ba.run_ba(
+    v_single, err_single, _, _ = ba.run_ba(
         v0, problem, pyr, cfg, mask, max_iters=4
     )
 
     mesh = Mesh(np.array(jax.devices()[:4]), (sharded_ba.AXIS,))
     problem_sharded = sharded_ba.shard_problem(problem, mesh)
-    v_multi, err_multi, _ = sharded_ba.sharded_run_ba(
+    v_multi, err_multi, _, _ = sharded_ba.sharded_run_ba(
         v0, problem_sharded, pyr, cfg, mask, mesh, max_iters=4
     )
 
@@ -55,7 +55,7 @@ def test_sharded_matches_single_device_with_reproj():
     problem_noreproj = sharded_ba.shard_problem(
         problem._replace(reproj_edges=None), mesh
     )
-    _, err_drop, _ = sharded_ba.sharded_run_ba(
+    _, err_drop, _, _ = sharded_ba.sharded_run_ba(
         v0, problem_noreproj, pyr, cfg, mask, mesh, max_iters=4
     )
     assert abs(float(err_drop) - float(err_multi)) > 1e-8
@@ -71,13 +71,13 @@ def test_sharded_matches_single_device():
     v0 = perturbed_vars(k, cs)
     mask = jnp.ones(k)
 
-    v_single, err_single, _ = ba.run_ba(
+    v_single, err_single, _, _ = ba.run_ba(
         v0, problem, pyr, cfg, mask, max_iters=4
     )
 
     mesh = Mesh(np.array(jax.devices()[:4]), (sharded_ba.AXIS,))
     problem_sharded = sharded_ba.shard_problem(problem, mesh)
-    v_multi, err_multi, _ = sharded_ba.sharded_run_ba(
+    v_multi, err_multi, _, _ = sharded_ba.sharded_run_ba(
         v0, problem_sharded, pyr, cfg, mask, mesh, max_iters=4
     )
 
@@ -124,3 +124,71 @@ def test_mapper_sharded_mapping_step():
     err = system.mapper.mapping_step_sharded(mesh, max_iters=2)
     assert np.isfinite(err)
     # matches the single-device step starting from the same state
+
+
+def test_mapping_step_sharded_matches_single_on_looped_map():
+    """SlamSystem-level parity (round-2 verdict #5): one code path, two
+    execution targets — the sharded mapping step must share the
+    window-incident edge selection + retirement with the single-device
+    step and produce the same variables on a LOOPED map (with
+    reprojection edges from a loop link)."""
+    from jax.sharding import Mesh
+
+    from tests.test_slam_e2e import tiny_system
+
+    system, data = tiny_system(num_frames=8, max_keyframes=16)
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+    for rec in frames[1:7]:
+        system.force_keyframe = True
+        system.process_frame(rec.timestamp, jnp.asarray(rec.image))
+    mp = system.mapper
+    n = system.store.num_active
+    assert n >= 5
+    # a loop link with reprojection (match_geom) edges
+    mp.enqueue_link(0, n - 1, True, True, True, True)
+    assert mp.reproj_edges, "loop link must add reprojection edges"
+
+    # snapshot mutable state so both targets start identically
+    v0 = system.store.variables
+    version0 = system.store.version.copy()
+    reinit0 = system.store.reinitialize_count.copy()
+    ph_iters0 = list(mp.photo_edge_iters)
+    ge_iters0 = list(mp.geo_edge_iters)
+    rp0 = [dict(ed) for ed in mp.reproj_edges]
+
+    err_single = mp.mapping_step(max_iters=3)
+    v_single = system.store.variables
+    # windowed selection actually dropped frozen-frozen edges
+    ph_sel, _, _ = mp._last_selection
+    assert len(ph_sel) <= len(mp.photo_edges)
+
+    # restore
+    system.store.variables = v0
+    system.store.version = version0.copy()
+    system.store.reinitialize_count = reinit0.copy()
+    mp.photo_edge_iters = list(ph_iters0)
+    mp.geo_edge_iters = list(ge_iters0)
+    mp.reproj_edges = rp0
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("e",))
+    err_sharded = mp.mapping_step_sharded(mesh, max_iters=3)
+
+    np.testing.assert_allclose(err_sharded, err_single, rtol=1e-4)
+    v_sharded = system.store.variables
+    np.testing.assert_allclose(
+        np.array(v_sharded.pose.trans), np.array(v_single.pose.trans),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(v_sharded.pose.rot), np.array(v_single.pose.rot),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(v_sharded.code), np.array(v_single.code), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(v_sharded.scale), np.array(v_single.scale), atol=1e-5
+    )
+    # the sharded path ran the same retirement bookkeeping
+    assert mp.photo_edge_iters != ph_iters0
