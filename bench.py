@@ -12,7 +12,12 @@ contributing photometric+geometric factors in both directions
 (mapper.cpp:333-374) => ~2 Hz * 12 factors = 24 factors/s nominal on its
 GPU. vs_baseline = measured / 24.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary metric (10-LM-iteration production steps), preceded by a
+secondary line for the round-1 operating point (1-LM-iteration steps:
+1 linearize + 1 trailing error pass per counted factor) so the two are
+cross-round comparable (round-2 verdict weak #2 — BENCH_r01 measured the
+1-iteration point, BENCH_r02+ the 10-iteration point).
 """
 
 import json
@@ -106,38 +111,56 @@ def main():
     # (MapperConfig.max_gn_iters) per solve. The deferred-acceptance LM
     # amortizes its single trailing error evaluation across the 10
     # linearizations exactly as the real mapper does.
-    lm_iters = 10
-    step = jax.jit(
-        lambda v: ba.run_ba(
-            v, problem, pyr, cfg, update_mask, max_iters=lm_iters
+    baseline = 24.0  # reference: 2 Hz mapping x ~12 factors (see docstring)
+
+    def measure(lm_iters, reps):
+        step = jax.jit(
+            lambda v: ba.run_ba(
+                v, problem, pyr, cfg, update_mask, max_iters=lm_iters
+            )
+        )
+        out = step(variables)
+        jax.block_until_ready(out)
+        # Chain the variables through the steps (realistic LM usage) and
+        # sync once at the end: on the remote-dispatch TPU backend a sync
+        # costs ~24 ms regardless of queued work, so per-call blocking
+        # would measure tunnel latency, not device throughput.
+        v = variables
+        t0 = time.time()
+        for _ in range(reps):
+            v, _, _, _ = step(v)
+        jax.block_until_ready(v)
+        dt = (time.time() - t0) / reps
+        # every LM iteration fully linearizes every factor once
+        return (n_photo + n_geo) * lm_iters / dt
+
+    # secondary: the round-1 operating point (1 LM iteration per step =
+    # 1 linearization + 1 trailing error pass per counted factor) for
+    # cross-round continuity
+    fps_1 = measure(lm_iters=1, reps=10)
+    print(
+        json.dumps(
+            {
+                "metric": "factors_per_second_global_ba_1iter",
+                "value": round(fps_1, 2),
+                "unit": "factors/s",
+                "vs_baseline": round(fps_1 / baseline, 2),
+            }
         )
     )
-    out = step(variables)
-    jax.block_until_ready(out)
 
-    # Chain the variables through the steps (realistic LM usage) and sync
-    # once at the end: on the remote-dispatch TPU backend a sync costs
-    # ~24 ms regardless of queued work, so per-call blocking would measure
-    # tunnel latency, not device throughput.
-    iters = 10
-    v = variables
-    t0 = time.time()
-    for _ in range(iters):
-        v, _, _ = step(v)
-    jax.block_until_ready(v)
-    dt = (time.time() - t0) / iters
-
-    # every LM iteration fully linearizes every factor once
-    factors_per_step = (n_photo + n_geo) * lm_iters
-    factors_per_sec = factors_per_step / dt
-    baseline = 24.0  # reference: 2 Hz mapping x ~12 factors (see docstring)
+    # primary: the production mapping configuration — 10 LM iterations
+    # (MapperConfig.max_gn_iters) per solve; the deferred-acceptance LM
+    # amortizes its single trailing error pass across the 10
+    # linearizations exactly as the real mapper does.
+    fps_10 = measure(lm_iters=10, reps=10)
     print(
         json.dumps(
             {
                 "metric": "factors_per_second_global_ba",
-                "value": round(factors_per_sec, 2),
+                "value": round(fps_10, 2),
                 "unit": "factors/s",
-                "vs_baseline": round(factors_per_sec / baseline, 2),
+                "vs_baseline": round(fps_10 / baseline, 2),
             }
         )
     )

@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--config", default=None, help="SlamConfig json")
     p.add_argument("--depth_checkpoint", default=None)
     p.add_argument("--feat_checkpoint", default=None)
+    p.add_argument(
+        "--net_config",
+        default=None,
+        help="netcfg.json sidecar from training.export.export_networks "
+        "(network architectures; defaults to the reference sizes)",
+    )
     p.add_argument("--vocab_path", default=None)
     p.add_argument("--run_log_dir", default="/tmp/sage_slam_run")
     p.add_argument("--max_frames", type=int, default=None)
@@ -66,6 +72,20 @@ def main(argv=None):
             height=cfg.net_input_size[0],
             width=cfg.net_input_size[1],
         )
+    elif args.source_url.startswith("bowl3d://"):
+        # bowl3d://?orbit_radius=0.2&seed=1 — query params map onto
+        # Bowl3DInterface kwargs (the full-3D eval scene)
+        from urllib.parse import parse_qsl, urlparse
+
+        q = dict(parse_qsl(urlparse(args.source_url).query))
+        kwargs = {
+            k: (float(v) if "." in v or "e" in v.lower() else int(v))
+            for k, v in q.items()
+        }
+        kwargs.setdefault("num_frames", args.max_frames or 20)
+        kwargs.setdefault("height", cfg.net_input_size[0])
+        kwargs.setdefault("width", cfg.net_input_size[1])
+        data = dataset.Bowl3DInterface(**kwargs)
     else:
         data = dataset.from_url(args.source_url)
     in_cam = data.intrinsics()
@@ -76,6 +96,12 @@ def main(argv=None):
         basis_inner=((128, 128, cfg.code_size),)
     )
     feat_cfg = feature_network.FeatureNetConfig()
+    if args.net_config:
+        from ..training.export import load_net_configs
+
+        d_cfg, f_cfg = load_net_configs(args.net_config)
+        depth_cfg = d_cfg or depth_cfg
+        feat_cfg = f_cfg or feat_cfg
     key = jax.random.key(0)
     depth_params = depth_network.init_params(key, depth_cfg)
     feat_params = feature_network.init_params(key, feat_cfg)
@@ -142,6 +168,9 @@ def main(argv=None):
         fps=round(n / dt, 3),
         wall_time_s=round(dt, 2),
         backend=jax.default_backend(),
+        # RefineMapping LM iterations until relinearization convergence
+        # (live_demo.cpp:252-257 loop count analog)
+        refine_iterations=getattr(system, "refine_iterations", 0),
     )
     with open(os.path.join(args.run_log_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

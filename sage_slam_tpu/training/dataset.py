@@ -650,6 +650,54 @@ class FusionHDF5Dataset(_SequenceSource):
         return _build_triplet(self, self.out_hw, self.in_hw, self.cfg, self.rng)
 
 
+class ArraySequenceDataset(_SequenceSource):
+    """The triplet pipeline over in-memory arrays
+    (color [N,H,W,3], depth [N,H,W], mask [H,W], intrinsics [4],
+    poses [N,4,4]) — e.g. a rendered io.dataset.Bowl3DInterface
+    sequence (`.to_arrays()`), used to train the networks on the
+    synthetic 3D scene for the learned-prior end-to-end test."""
+
+    def __init__(
+        self,
+        arrays: dict,
+        cfg: Optional[TripletConfig] = None,
+        out_hw=None,
+        in_hw=None,
+        seed: int = 0,
+    ):
+        self.d = arrays
+        self.rng = np.random.default_rng(seed)
+        self.cfg = cfg or TripletConfig()
+        h, w = self.d["depth"].shape[1:3]
+        self.out_hw = tuple(out_hw) if out_hw else (h, w)
+        self.in_hw = tuple(in_hw) if in_hw else (2 * h, 2 * w)
+        self.n_frames = int(self.d["color"].shape[0])
+
+    def __len__(self):
+        return self.n_frames
+
+    def color(self, i):
+        return np.asarray(self.d["color"][i])
+
+    def depth(self, i):
+        return np.asarray(self.d["depth"][i], np.float32)
+
+    def depth_mask(self, i):
+        return None
+
+    def video_mask(self):
+        return np.asarray(self.d["mask"], np.float32)
+
+    def pose(self, i):
+        return np.asarray(self.d["poses"][i], np.float64)
+
+    def intrinsics(self):
+        return np.asarray(self.d["intrinsics"]).reshape(-1)[:4]
+
+    def sample(self) -> Triplet:
+        return _build_triplet(self, self.out_hw, self.in_hw, self.cfg, self.rng)
+
+
 class NpzSequenceDataset(_SequenceSource):
     """Same pipeline over an .npz sequence (color [N,H,W,3],
     depth [N,H,W], mask [H,W], intrinsics [4], poses [N,4,4])."""

@@ -37,18 +37,38 @@ def flatten_params(tree, prefix: str = "") -> dict:
     return out
 
 
-def export_networks(state, out_prefix: str) -> dict:
+def export_networks(
+    state, out_prefix: str, depth_cfg=None, feat_cfg=None
+) -> dict:
     """Split a TrainState into per-net runtime npz checkpoints:
 
     - ``{out_prefix}_depth.npz`` / ``_feat.npz`` / ``_disc.npz`` —
       dotted-path key files for the demo CLI loaders,
     - ``{out_prefix}_ba.npz`` — the learned BA weights (per-level
       photometric weights/power, damping, sigma) for the runtime's
-      factor configuration (the reference's ba_model.pt role).
+      factor configuration (the reference's ba_model.pt role),
+    - ``{out_prefix}_netcfg.json`` — the network architecture configs
+      (when ``depth_cfg``/``feat_cfg`` are given) so the demo CLI can
+      rebuild matching parameter trees (``--net_config`` flag); the
+      TorchScript export carries its architecture implicitly
+      (representation/training.py:189-197), the npz export carries it
+      in this sidecar.
 
     Returns {name: path}.
     """
     paths = {}
+    if depth_cfg is not None or feat_cfg is not None:
+        import json
+
+        cfgs = {}
+        if depth_cfg is not None:
+            cfgs["depth"] = depth_cfg._asdict()
+        if feat_cfg is not None:
+            cfgs["feat"] = feat_cfg._asdict()
+        path = f"{out_prefix}_netcfg.json"
+        with open(path, "w") as f:
+            json.dump(cfgs, f, indent=2)
+        paths["netcfg"] = path
     for name in ("depth", "feat", "disc"):
         path = f"{out_prefix}_{name}.npz"
         np.savez(path, **flatten_params(state.params[name]))
@@ -66,6 +86,36 @@ def export_networks(state, out_prefix: str) -> dict:
     np.savez(path, **ba_flat)
     paths["ba"] = path
     return paths
+
+
+def load_net_configs(path: str):
+    """Rebuild (DepthNetConfig, FeatureNetConfig) from a _netcfg.json
+    sidecar (either may be None if absent). JSON lists are converted
+    back to the tuples the NamedTuple configs use (they key jit
+    caches, so they must be hashable)."""
+    import json
+
+    from ..models.depth_network import DepthNetConfig
+    from ..models.feature_network import FeatureNetConfig
+
+    def detuple(v):
+        if isinstance(v, list):
+            return tuple(detuple(x) for x in v)
+        return v
+
+    with open(path) as f:
+        raw = json.load(f)
+    depth_cfg = (
+        DepthNetConfig(**{k: detuple(v) for k, v in raw["depth"].items()})
+        if "depth" in raw
+        else None
+    )
+    feat_cfg = (
+        FeatureNetConfig(**{k: detuple(v) for k, v in raw["feat"].items()})
+        if "feat" in raw
+        else None
+    )
+    return depth_cfg, feat_cfg
 
 
 def load_ba_params(path: str, template):
