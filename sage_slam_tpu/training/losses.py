@@ -74,12 +74,16 @@ def triplet_histogram_loss(src_cdf, tgt_cdf, far_cdf, margin=0.2):
 
 def _response_map(desc_src_at_kp, desc_tgt_flat, sigma):
     """[M, C] keypoint descs vs [HW, C] target -> softmax response [M, HW]
-    (feature_matcher.py:36-50)."""
+    (feature_matcher.py:36-50).
+
+    Computed as a shift-invariant softmax of -sigma*d2 (identical math
+    to exp(-sigma*d2)/sum): the naive form underflows to an all-zero
+    row once the learnable sigma grows (the rr loss pushes it up), and
+    0/0 NaNs poisoned whole training runs."""
     d2 = jnp.sum(
         (desc_src_at_kp[:, None, :] - desc_tgt_flat[None]) ** 2, axis=-1
     )
-    resp = jnp.exp(-sigma * d2)
-    return resp / jnp.sum(resp, axis=-1, keepdims=True)
+    return jax.nn.softmax(-sigma * d2, axis=-1)
 
 
 def rr_loss(

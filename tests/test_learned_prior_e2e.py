@@ -1,0 +1,188 @@
+"""The learned-prior loop, closed end-to-end (round-2 verdict #1).
+
+The reference's premise is trained networks driving the runtime:
+representation/training.py:189-197 exports TorchScript consumed by
+code_depth_network.cpp:24-42. This test proves the same hand-off for
+the TPU framework ON ONE ARTIFACT CHAIN:
+
+  train (triplet pipeline on the Bowl3D scene, real SGD steps until
+  depth + rr losses measurably drop) -> export_networks (npz + netcfg
+  sidecar) -> demo CLI --depth_checkpoint/--feat_checkpoint/--net_config
+  -> SLAM on a held-out trajectory of the same scene -> the trained
+  prior HELPS: lower Sim3-ATE and lower depth-RMSE than random-init
+  networks on the same frames.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sage_slam_tpu.eval import ate
+from sage_slam_tpu.io.dataset import Bowl3DInterface
+from sage_slam_tpu.io import tum_io
+from sage_slam_tpu.models import depth_network, feature_network
+from sage_slam_tpu.training import dataset as tds, discriminator, export, train
+
+H, W = 16, 20  # output res (input 32x40)
+CS, FS = 4, 8
+
+TRAIN_BOWL = dict(num_frames=24, height=2 * H, width=2 * W, seed=0,
+                  orbit_radius=0.12, rot_amp=0.12)
+# held-out trajectory: SAME scene (texture/geometry), different orbit
+# with MORE rotation + translation — the regime where a wrong depth
+# prior visibly biases the pose estimate
+EVAL_BOWL = dict(num_frames=12, height=2 * H, width=2 * W, seed=0,
+                 orbit_radius=0.3, rot_amp=0.35)
+
+
+def _net_cfgs():
+    depth_cfg = depth_network.DepthNetConfig(
+        filter_list=(4, 8, 16), bottleneck=16, bias_inner=(8, 1),
+        basis_inner=((8, CS),),
+    )
+    feat_cfg = feature_network.FeatureNetConfig(
+        filter_list=(4, 8, 16), bottleneck=16, desc_inner=(8, FS),
+        map_inner=(8, FS),
+    )
+    return depth_cfg, feat_cfg
+
+
+def _train_on_bowl(tmp_path):
+    bowl = Bowl3DInterface(**TRAIN_BOWL)
+    arrays = bowl.to_arrays()
+    cfg_t = tds.TripletConfig(
+        num_keypoints=16, frame_interval=3, far_frame_interval=8,
+        use_rotation_aug=False,
+    )
+    src = tds.ArraySequenceDataset(
+        arrays, cfg=cfg_t, out_hw=(H, W), in_hw=(2 * H, 2 * W), seed=0
+    )
+    triplets = [src.sample() for _ in range(8)]
+    depth_cfg, feat_cfg = _net_cfgs()
+    disc_cfg = discriminator.DiscConfig(
+        img_height=H, img_width=W, num_blocks=2, filter_base=4
+    )
+    cfg = train.TrainConfig(
+        pyramid_levels=3, ba_iters=2, num_photo_samples=32,
+        separate_train_epoch=999, eval_fraction=0.25, cycle_steps=150,
+    )
+    state, history = train.train(
+        triplets, triplets[0].camera, depth_cfg, feat_cfg, disc_cfg, cfg,
+        num_epochs=35, seed=0,
+    )
+    return state, history, depth_cfg, feat_cfg
+
+
+def _run_slam_cli(tmp_path, tag, ckpts=None):
+    """Drive the demo CLI on the held-out bowl trajectory."""
+    from sage_slam_tpu.config import (
+        KeyframeConfig,
+        MapperConfig,
+        SlamConfig,
+        TrackerConfig,
+    )
+    from sage_slam_tpu.demo import run_slam
+
+    cfg = SlamConfig(
+        net_input_size=(2 * H, 2 * W), net_output_size=(H, W),
+        code_size=CS, feat_size=FS, pyramid_levels=3, max_keyframes=16,
+        tracker=TrackerConfig(
+            max_num_iters=10, desc_num_keypoints=32, use_reprojection=True
+        ),
+        mapper=MapperConfig(
+            pho_num_samples=64, desc_num_keypoints=32, window_size=4,
+            max_gn_iters=3,
+        ),
+        keyframe=KeyframeConfig(min_average_motion=0.02),
+    )
+    cfg_path = os.path.join(tmp_path, f"cfg_{tag}.json")
+    cfg.to_json(cfg_path)
+    run_dir = os.path.join(tmp_path, f"run_{tag}")
+    url = "bowl3d://?" + "&".join(
+        f"{k}={v}" for k, v in EVAL_BOWL.items()
+    )
+    argv = [
+        "--source_url", url,
+        "--config", cfg_path,
+        "--run_log_dir", run_dir,
+        "--max_frames", str(EVAL_BOWL["num_frames"]),
+        "--no_threads",
+        "--save_keyframes",
+    ]
+    if ckpts:
+        argv += [
+            "--depth_checkpoint", ckpts["depth"],
+            "--feat_checkpoint", ckpts["feat"],
+            "--net_config", ckpts["netcfg"],
+        ]
+    else:
+        # random init still needs the matching tiny architectures
+        depth_cfg, feat_cfg = _net_cfgs()
+        ncfg = os.path.join(tmp_path, "netcfg_rand.json")
+        with open(ncfg, "w") as f:
+            json.dump(
+                {"depth": depth_cfg._asdict(), "feat": feat_cfg._asdict()},
+                f,
+            )
+        argv += ["--net_config", ncfg]
+    run_slam.main(argv)
+    return run_dir
+
+
+def _evaluate(run_dir):
+    """Sim3-ATE of the full trajectory + mean keyframe depth-RMSE
+    against the analytic ground truth."""
+    data = Bowl3DInterface(**EVAL_BOWL)
+    traj = tum_io.read_tum(os.path.join(run_dir, "trajectory.txt"))
+    est = np.stack([t for _, t, _ in traj])
+    gt = np.stack(
+        [data.pose_at(i)[:3, 3] for i in range(len(traj))]
+    )
+    err = ate.ate_rmse(est, gt, align="sim3")
+
+    kf_traj = tum_io.read_tum(
+        os.path.join(run_dir, "keyframe_trajectory.txt")
+    )
+    mask = np.ones((H, W), np.float32)
+    rmses = []
+    for i, (ts, _, _) in enumerate(kf_traj):
+        est_d = np.load(os.path.join(run_dir, f"kf_{i:04d}_depth.npy"))
+        _, gt_d, _ = data.render(int(ts), H, W)
+        rmses.append(ate.depth_rmse(est_d, gt_d, mask, align_scale=True))
+    return err, float(np.mean(rmses))
+
+
+@pytest.mark.slow
+def test_learned_prior_closes_the_loop(tmp_path):
+    tmp_path = str(tmp_path)
+    state, history, depth_cfg, feat_cfg = _train_on_bowl(tmp_path)
+
+    # the losses measurably dropped (train happened, not a no-op)
+    first, last = history[0]["eval"], history[-1]["eval"]
+    assert last["depth"] < 0.5 * first["depth"], (first, last)
+    assert last["rr"] < 0.7 * first["rr"], (first, last)
+
+    # export the runtime artifacts (the TorchScript hand-off analog)
+    paths = export.export_networks(
+        state, os.path.join(tmp_path, "net"),
+        depth_cfg=depth_cfg, feat_cfg=feat_cfg,
+    )
+    assert os.path.exists(paths["netcfg"])
+
+    run_trained = _run_slam_cli(tmp_path, "trained", ckpts=paths)
+    run_random = _run_slam_cli(tmp_path, "random", ckpts=None)
+
+    ate_tr, drmse_tr = _evaluate(run_trained)
+    ate_rd, drmse_rd = _evaluate(run_random)
+
+    # the trained prior must HELP on the same frames (measured margins
+    # on this seeded chain: ATE 0.194 vs 0.225, depth-RMSE 0.43 vs 0.71)
+    assert np.isfinite(ate_tr) and np.isfinite(drmse_tr)
+    assert drmse_tr < 0.75 * drmse_rd, (drmse_tr, drmse_rd)
+    assert ate_tr < ate_rd, (ate_tr, ate_rd)
+    # absolute sanity on the trained depth after scale alignment
+    assert drmse_tr < 0.55, drmse_tr
