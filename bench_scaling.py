@@ -23,7 +23,21 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU host platform (this environment's site hook "
+        "overrides the JAX_PLATFORMS env var, so the env-var recipe in "
+        "the docstring does not work here; --cpu forces it in-process)",
+    )
+    ap_args = ap.parse_args()
+
     import jax
+
+    if ap_args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh
 

@@ -1,0 +1,319 @@
+"""Full-resolution evaluation artifact generator (the bag_1 substitute).
+
+Produces the recorded end-to-end artifact the reference workflow implies
+(slam_run.flags:1 demo on bag_1 + representation/scripts/
+slam_run_with_hdf5_dataset.py:162 evo-ATE + saved keyframe depths +
+TSDF reconstruction): one deterministic chain at the REFERENCE operating
+point (net in 128x160 / out 64x80, CS=FS=16, 3072 photometric samples,
+4 pyramid levels):
+
+  1. train the full-size networks on a Bowl3D sequence (triplet
+     pipeline, separate-phase curriculum),
+  2. export runtime checkpoints (npz + netcfg sidecar),
+  3. build a BoW vocabulary from the TRAINED descriptors (voc_builder),
+  4. run the threaded demo CLI on a held-out orbit with an exact
+     revisit (loop-closure opportunity), loading the trained nets,
+  5. evaluate: Sim3-ATE, per-keyframe depth-RMSE vs the analytic GT,
+     TSDF fusion -> marching-tetrahedra mesh (PLY),
+  6. write EVAL.md + artifacts into --out_dir.
+
+Run on the TPU:
+  python -m sage_slam_tpu.demo.make_eval --out_dir eval_artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out_dir", default="eval_artifacts")
+    p.add_argument("--epochs", type=int, default=24)
+    p.add_argument("--train_triplets", type=int, default=16)
+    p.add_argument("--train_frames", type=int, default=32)
+    p.add_argument("--eval_frames", type=int, default=24)
+    p.add_argument("--max_keyframes", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..eval import ate, tsdf
+    from ..geometry.se3 import SE3
+    from ..io import tum_io
+    from ..io.dataset import Bowl3DInterface
+    from ..models import depth_network, feature_network
+    from ..training import dataset as tds, discriminator, export, train
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    t_all = time.time()
+    report = {"operating_point": {
+        "net_input": [128, 160], "net_output": [64, 80],
+        "code_size": 16, "feat_size": 16, "pho_num_samples": 3072,
+        "pyramid_levels": 4, "backend": jax.default_backend(),
+    }}
+
+    # ------------------------------------------------------------------
+    # 1. train full-size nets on the bowl scene
+    h_out, w_out = 64, 80
+    train_bowl = dict(num_frames=args.train_frames, height=128, width=160,
+                      seed=0, orbit_radius=0.16, rot_amp=0.15,
+                      mask_margin=6)
+    bowl = Bowl3DInterface(**train_bowl)
+    arrays = bowl.to_arrays()
+    cfg_t = tds.TripletConfig(
+        num_keypoints=128, frame_interval=3, far_frame_interval=10,
+        use_rotation_aug=False,
+    )
+    src = tds.ArraySequenceDataset(
+        arrays, cfg=cfg_t, out_hw=(h_out, w_out), in_hw=(128, 160), seed=0
+    )
+    t0 = time.time()
+    triplets = [src.sample() for _ in range(args.train_triplets)]
+    print(f"built {len(triplets)} triplets in {time.time()-t0:.1f}s",
+          flush=True)
+
+    depth_cfg = depth_network.DepthNetConfig(basis_inner=((128, 128, 16),))
+    feat_cfg = feature_network.FeatureNetConfig()
+    disc_cfg = discriminator.DiscConfig(img_height=h_out, img_width=w_out)
+    tcfg = train.TrainConfig(
+        pyramid_levels=4, ba_iters=2, num_photo_samples=128,
+        separate_train_epoch=10_000, eval_fraction=0.2, cycle_steps=200,
+    )
+    t0 = time.time()
+    state, history = train.train(
+        triplets, triplets[0].camera, depth_cfg, feat_cfg, disc_cfg, tcfg,
+        num_epochs=args.epochs, seed=0,
+        log_path=os.path.join(args.out_dir, "train_scalars.jsonl"),
+    )
+    report["training"] = {
+        "epochs": args.epochs,
+        "steps": int(state.step),
+        "wall_s": round(time.time() - t0, 1),
+        "eval_first": {k: round(float(v), 4)
+                       for k, v in history[0]["eval"].items()},
+        "eval_last": {k: round(float(v), 4)
+                      for k, v in history[-1]["eval"].items()},
+    }
+    print("training:", json.dumps(report["training"]), flush=True)
+
+    # 2. export runtime checkpoints
+    paths = export.export_networks(
+        state, os.path.join(args.out_dir, "net"),
+        depth_cfg=depth_cfg, feat_cfg=feat_cfg,
+    )
+
+    # 3. vocabulary from the trained descriptors over the train sequence
+    from . import voc_builder
+
+    voc_path = os.path.join(args.out_dir, "bow_voc.npz")
+    url_train = "bowl3d://?" + "&".join(
+        f"{k}={v}" for k, v in train_bowl.items()
+    )
+    voc_builder.main([
+        "--source_url", url_train,
+        "--output", voc_path,
+        "--k", "8", "--levels", "3",
+        "--points_per_frame", "300",
+        "--max_frames", str(args.train_frames),
+        "--feat_checkpoint", paths["feat"],
+    ])
+
+    # 4. the SLAM run through the demo CLI (threaded driver) on a
+    #    held-out orbit that ends where it started (exact revisit)
+    from ..config import SlamConfig
+    from . import run_slam
+
+    eval_bowl = dict(num_frames=args.eval_frames, height=128, width=160,
+                     seed=0, orbit_radius=0.22, rot_amp=0.25,
+                     mask_margin=6)
+    url_eval = "bowl3d://?" + "&".join(
+        f"{k}={v}" for k, v in eval_bowl.items()
+    )
+    cfg = SlamConfig(max_keyframes=args.max_keyframes)
+    cfg_path = os.path.join(args.out_dir, "slam_config.json")
+    cfg.to_json(cfg_path)
+    run_dir = os.path.join(args.out_dir, "slam_run")
+    t0 = time.time()
+    summary = run_slam.main([
+        "--source_url", url_eval,
+        "--config", cfg_path,
+        "--run_log_dir", run_dir,
+        "--max_frames", str(args.eval_frames),
+        "--depth_checkpoint", paths["depth"],
+        "--feat_checkpoint", paths["feat"],
+        "--net_config", paths["netcfg"],
+        "--vocab_path", voc_path,
+        "--save_keyframes",
+    ])
+    report["slam"] = summary
+
+    # ------------------------------------------------------------------
+    # 5. evaluation vs the analytic ground truth
+    data = Bowl3DInterface(**eval_bowl)
+    traj = tum_io.read_tum(os.path.join(run_dir, "trajectory.txt"))
+    est = np.stack([t for _, t, _ in traj])
+    gt_poses = [data.pose_at(i) for i in range(len(traj))]
+    gt = np.stack([p[:3, 3] for p in gt_poses])
+    err_sim3 = ate.ate_rmse(est, gt, align="sim3")
+    err_se3 = ate.ate_rmse(est, gt, align="se3")
+    span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    report["ate"] = {
+        "sim3_rmse": round(float(err_sim3), 5),
+        "se3_rmse": round(float(err_se3), 5),
+        "trajectory_span": round(span, 5),
+        "sim3_pct_of_span": round(100 * float(err_sim3) / span, 2),
+        "frames": len(traj),
+    }
+    print("ate:", json.dumps(report["ate"]), flush=True)
+
+    # keyframe depth-RMSE vs analytic GT
+    kf_traj = tum_io.read_tum(
+        os.path.join(run_dir, "keyframe_trajectory.txt")
+    )
+    # keyframe-trajectory ATE: unlike the as-tracked frame trajectory,
+    # keyframe poses reflect BA + loop closure + final refinement (the
+    # reference's SaveResults also writes both)
+    kf_est = np.stack([t for _, t, _ in kf_traj])
+    kf_gt = np.stack([data.pose_at(int(ts))[:3, 3] for ts, _, _ in kf_traj])
+    report["ate"]["kf_sim3_rmse"] = round(
+        float(ate.ate_rmse(kf_est, kf_gt, align="sim3")), 5
+    )
+    report["ate"]["kf_sim3_pct_of_span"] = round(
+        100 * report["ate"]["kf_sim3_rmse"] / span, 2
+    )
+    mask = data.mask(h_out, w_out)
+    rmses = []
+    kf_depths, kf_poses = [], []
+    for i, (ts, trans, rot) in enumerate(kf_traj):
+        est_d = np.load(os.path.join(run_dir, f"kf_{i:04d}_depth.npy"))
+        _, gt_d, _ = data.render(int(ts), h_out, w_out)
+        rmses.append(
+            ate.depth_rmse(est_d, gt_d, mask, align_scale=True)
+        )
+        kf_depths.append(est_d)
+        kf_poses.append((rot, trans))
+    report["depth"] = {
+        "mean_kf_rmse": round(float(np.mean(rmses)), 5),
+        "max_kf_rmse": round(float(np.max(rmses)), 5),
+        "keyframes": len(rmses),
+        "est_depth_range_masked": [
+            round(float(min((d * mask).min() for d in kf_depths)), 3),
+            round(float(max((d * mask).max() for d in kf_depths)), 3),
+        ],
+    }
+    print("depth:", json.dumps(report["depth"]), flush=True)
+
+    # TSDF fusion + mesh from the SAVED artifacts (what a user gets)
+    cam = data.intrinsics().resized(w_out, h_out)
+    centers = np.stack([t for (_, t) in kf_poses])
+    med = float(np.median(np.concatenate([d.reshape(-1) for d in kf_depths])))
+    lo = centers.min(0) - 0.5 * med
+    hi = centers.max(0) + 2.0 * med
+    dims = (96, 96, 96)
+    voxel = float(np.max(hi - lo) / max(dims))
+    vol = tsdf.TSDFVolume.create(lo, dims, voxel)
+    step = jax.jit(
+        lambda v, d, r, t: tsdf.integrate(
+            v, d, jnp.asarray(mask), SE3(r, t), cam
+        )
+    )
+    for (rot, trans), d in zip(kf_poses, kf_depths):
+        vol = step(vol, jnp.asarray(d), jnp.asarray(rot, jnp.float32),
+                   jnp.asarray(trans, jnp.float32))
+    verts, faces = tsdf.marching_tetrahedra(vol)
+    mesh_path = os.path.join(args.out_dir, "reconstruction.ply")
+    tsdf.save_ply(mesh_path, verts, faces)
+    report["mesh"] = {
+        "vertices": int(len(verts)),
+        "faces": int(len(faces)),
+        "path": os.path.relpath(mesh_path, args.out_dir),
+    }
+    print("mesh:", json.dumps(report["mesh"]), flush=True)
+
+    report["wall_total_s"] = round(time.time() - t_all, 1)
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    # ------------------------------------------------------------------
+    # 6. EVAL.md
+    tr = report["training"]
+    md = f"""# EVAL — full-resolution end-to-end artifact (round 3)
+
+One deterministic chain at the reference operating point
+(in 128x160 / out 64x80, CS=FS=16, 3072 photometric samples, 4 pyramid
+levels — system/configs/slam_run.flags:8-9,95-96), standing in for the
+reference's bag_1 demo + evo evaluation
+(slam_run_with_hdf5_dataset.py:162): the Bowl3D analytic scene provides
+exact ground-truth poses and depths.
+
+Backend: **{report['operating_point']['backend']}**. Regenerate with
+`python -m sage_slam_tpu.demo.make_eval --out_dir eval_artifacts`.
+
+## 1. Training (learned priors)
+
+Full-size partial-conv U-Nets trained on {args.train_triplets} triplets
+from a {args.train_frames}-frame orbit ({tr['steps']} SGD steps,
+{tr['wall_s']}s):
+
+| eval loss | first epoch | last epoch |
+|---|---|---|
+| depth (SI-log) | {tr['eval_first']['depth']} | {tr['eval_last']['depth']} |
+| rr (descriptor) | {tr['eval_first']['rr']} | {tr['eval_last']['rr']} |
+| total | {tr['eval_first']['loss']} | {tr['eval_last']['loss']} |
+
+## 2. SLAM run (threaded demo CLI, trained nets + trained vocabulary)
+
+Held-out orbit ({args.eval_frames} frames, larger radius + rotation,
+exact revisit at the end): `{url_eval}`
+
+```json
+{json.dumps(report['slam'], indent=2)}
+```
+
+## 3. Trajectory accuracy (vs analytic GT)
+
+| metric | value |
+|---|---|
+| Sim3-aligned ATE RMSE (frames, as tracked) | {report['ate']['sim3_rmse']} |
+| Sim3-aligned ATE RMSE (keyframes, after BA+loops+refine) | {report['ate']['kf_sim3_rmse']} ({report['ate']['kf_sim3_pct_of_span']}% of span) |
+| SE3-aligned ATE RMSE | {report['ate']['se3_rmse']} |
+| trajectory span | {report['ate']['trajectory_span']} |
+| Sim3 ATE / span | {report['ate']['sim3_pct_of_span']}% |
+
+## 4. Depth accuracy (per-keyframe, scale-aligned)
+
+| metric | value |
+|---|---|
+| mean keyframe depth RMSE | {report['depth']['mean_kf_rmse']} |
+| max keyframe depth RMSE | {report['depth']['max_kf_rmse']} |
+| keyframes | {report['depth']['keyframes']} |
+
+## 5. Reconstruction
+
+TSDF fusion of the saved keyframe depths -> marching-tetrahedra mesh:
+`{report['mesh']['path']}` ({report['mesh']['vertices']} vertices,
+{report['mesh']['faces']} faces).
+
+## Files
+
+- `slam_run/trajectory.txt`, `slam_run/keyframe_trajectory.txt` — TUM
+- `slam_run/kf_*.npy` — keyframe depth maps
+- `net_depth.npz`, `net_feat.npz`, `net_netcfg.json` — trained nets
+- `bow_voc.npz` — trained BoW vocabulary
+- `reconstruction.ply` — fused mesh
+- `report.json` — everything above, machine-readable
+"""
+    with open(os.path.join(args.out_dir, "EVAL.md"), "w") as f:
+        f.write(md)
+    print(f"EVAL written to {args.out_dir} in {report['wall_total_s']}s")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--skip_frames", type=int, default=0)
     p.add_argument("--enable_timing", action="store_true")
+    p.add_argument(
+        "--v", type=int, default=0,
+        help="verbosity (glog --v analog): >=1 enables sage_slam DEBUG "
+        "logging of loop-closure gate decisions",
+    )
     p.add_argument("--no_threads", action="store_true")
     p.add_argument("--save_keyframes", action="store_true")
     args = p.parse_args(argv)
@@ -59,6 +64,14 @@ def main(argv=None):
 
     os.makedirs(args.run_log_dir, exist_ok=True)
     timing.enable(args.enable_timing)
+    if args.v >= 1:
+        import logging
+
+        lg = logging.getLogger("sage_slam")
+        lg.setLevel(logging.DEBUG)
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(name)s: %(message)s"))
+        lg.addHandler(h)
 
     cfg = (
         SlamConfig.from_json(args.config) if args.config else SlamConfig()
@@ -73,19 +86,14 @@ def main(argv=None):
             width=cfg.net_input_size[1],
         )
     elif args.source_url.startswith("bowl3d://"):
-        # bowl3d://?orbit_radius=0.2&seed=1 — query params map onto
-        # Bowl3DInterface kwargs (the full-3D eval scene)
-        from urllib.parse import parse_qsl, urlparse
-
-        q = dict(parse_qsl(urlparse(args.source_url).query))
-        kwargs = {
-            k: (float(v) if "." in v or "e" in v.lower() else int(v))
-            for k, v in q.items()
-        }
-        kwargs.setdefault("num_frames", args.max_frames or 20)
-        kwargs.setdefault("height", cfg.net_input_size[0])
-        kwargs.setdefault("width", cfg.net_input_size[1])
-        data = dataset.Bowl3DInterface(**kwargs)
+        # query params map onto Bowl3DInterface kwargs (from_url);
+        # defaults follow the CLI frame limit + net input size
+        data = dataset.from_url(
+            args.source_url,
+            num_frames=args.max_frames or 20,
+            height=cfg.net_input_size[0],
+            width=cfg.net_input_size[1],
+        )
     else:
         data = dataset.from_url(args.source_url)
     in_cam = data.intrinsics()
@@ -118,9 +126,14 @@ def main(argv=None):
 
     voc = None
     if args.vocab_path:
-        from ..loop import vocabulary
+        if args.vocab_path.endswith(".npz"):
+            from .voc_builder import load_npz_vocabulary
 
-        voc = vocabulary.load_dbow2_yaml(args.vocab_path)
+            voc = load_npz_vocabulary(args.vocab_path)
+        else:
+            from ..loop import vocabulary
+
+            voc = vocabulary.load_dbow2_yaml(args.vocab_path)
 
     # resize mask to output resolution (nearest)
     mask_full = data.mask()
@@ -171,6 +184,7 @@ def main(argv=None):
         # RefineMapping LM iterations until relinearization convergence
         # (live_demo.cpp:252-257 loop count analog)
         refine_iterations=getattr(system, "refine_iterations", 0),
+        global_loops=len(system.store.global_loop_links),
     )
     with open(os.path.join(args.run_log_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -113,6 +113,22 @@ class SlamDriver:
                         self.system.mapper.mapping_step()
         finally:
             self.stop()
+        # drain the loop backends: the reference joins its loop threads
+        # only AFTER the final RefineMapping (live_demo.cpp:252-257), so
+        # keyframes created near the end still get searched; with the
+        # workers stopped we drain deterministically on this thread —
+        # every keyframe is searched exactly once before refinement
+        for _ in range(self.system.store.num_active):
+            un_l = self.system._newest_unsearched(
+                self.system.store.local_loop_searched
+            )
+            un_g = self.system._newest_unsearched(
+                self.system.store.global_loop_searched
+            )
+            if un_l is None and un_g is None:
+                break
+            self.system.local_loop_tick()
+            self.system.global_loop_tick()
         # final refinement (live_demo.cpp:252-257)
         self.system.refine_mapping()
         return results

@@ -23,6 +23,7 @@ host/device; a threaded driver can wrap these methods unchanged.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import List, Optional
 
 import jax
@@ -38,6 +39,11 @@ from ..mapping.keyframe_store import FrameData, get_row as _get_row
 from ..mapping.mapper import Mapper
 from ..tracker import matching_geo, tracker
 from ..tracker.tracker import TrackerRef, TrackerTarget, TrackTerms
+
+# the reference's glog VLOG instrumentation analog (logutils.h role):
+# enable with logging.getLogger("sage_slam").setLevel(logging.DEBUG)
+# or the demo CLI's --v flag
+log = logging.getLogger("sage_slam.loop")
 
 
 @dataclasses.dataclass
@@ -579,10 +585,18 @@ class SlamSystem:
             # mirrors the reference's sorted DBoW2 query results
             # (loop_detector.cpp:74-111)
             if s < lcfg.global_sim_ratio * max_sim:
+                log.debug(
+                    "global_loop kf=%d cand=%d REJECT sim %.3f < %.3f",
+                    kf_id, cid, float(s), lcfg.global_sim_ratio * max_sim,
+                )
                 break
             if self.store.link_exists(kf_id, cid):
                 continue
             candidates.append(cid)
+        log.debug(
+            "global_loop kf=%d max_temporal_sim=%.3f candidates=%s",
+            kf_id, max_sim, candidates,
+        )
         if not candidates:
             return []
 
@@ -592,11 +606,16 @@ class SlamSystem:
             mg = self._match_geo(cid, fr_like)
             ratio = float(mg.desc_inlier_ratio)
             if ratio < lcfg.min_desc_inlier_ratio:
+                log.debug(
+                    "global_loop kf=%d cand=%d REJECT desc_ratio %.3f < %.3f",
+                    kf_id, cid, ratio, lcfg.min_desc_inlier_ratio,
+                )
                 continue
             verified = self._verify_loop_7dof(cid, fr_like, mg)
             if verified is not None:
                 verified.desc_inlier_ratio = ratio
                 loops.append(verified)
+                log.debug("global_loop kf=%d cand=%d ACCEPT", kf_id, cid)
         # redundancy suppression (loop_detector.cpp:203-229)
         loops.sort(key=lambda l: -l.desc_inlier_ratio)
         filtered: List[LoopInfo] = []
@@ -692,11 +711,18 @@ class SlamSystem:
         lcfg = self.cfg.loop
         m = self._track_7dof(ref_id, fr_like, mg)
         if m is None:
+            log.debug("verify_7dof ref=%d REJECT <3 matches", ref_id)
             return None
         res = m["res"]
         area_ratio = m["area_ratio"]
         inlier_ratio = m["inlier_ratio"]
         if area_ratio < lcfg.min_area_ratio or inlier_ratio < lcfg.min_inlier_ratio:
+            log.debug(
+                "verify_7dof ref=%d REJECT area %.3f inlier %.3f "
+                "(gates %.2f/%.2f)",
+                ref_id, area_ratio, inlier_ratio,
+                lcfg.min_area_ratio, lcfg.min_inlier_ratio,
+            )
             return None
 
         # pose_cur_ref with scale-adjusted translation
@@ -956,7 +982,13 @@ class SlamSystem:
         for _ in range(n):
             err = self.mapper.mapping_step(full=True)
             self.refine_iterations += self.mapper.last_step_iters
-            if self.mapper.last_step_converged:
+            # keyframes still held by the loop-closure reconciliation
+            # were FROZEN this step — convergence only counts once every
+            # loop value has been absorbed (mapper.cpp:554-573 clears
+            # the holds before the final convergence check)
+            if self.mapper.last_step_converged and not (
+                self.store.reinitialize_count > 0
+            ).any():
                 break
         return err
 

@@ -61,6 +61,16 @@ def from_url(url: str, **kwargs) -> CameraInterface:
     if url.startswith("synthetic://"):
         return SyntheticInterface(**kwargs)
     if url.startswith("bowl3d://"):
+        # bowl3d://?orbit_radius=0.2&seed=1 — query params map onto
+        # Bowl3DInterface kwargs (ints/floats inferred)
+        from urllib.parse import parse_qsl, urlparse
+
+        q = dict(parse_qsl(urlparse(url).query))
+        for k, v in q.items():
+            # URL query overrides caller defaults
+            kwargs[k] = (
+                float(v) if ("." in v or "e" in v.lower()) else int(v)
+            )
         return Bowl3DInterface(**kwargs)
     raise ValueError(f"unknown dataset url scheme: {url}")
 
@@ -447,6 +457,7 @@ class Bowl3DInterface(CameraInterface):
         orbit_radius: float = 0.12,
         rot_amp: float = 0.12,
         revisit: bool = True,
+        mask_margin: int = 0,
     ):
         self.n = num_frames
         self.h, self.w = height, width
@@ -455,6 +466,10 @@ class Bowl3DInterface(CameraInterface):
         self.r_orbit = orbit_radius
         self.rot_amp = rot_amp
         self.revisit = revisit
+        # video-mask border (the reference's endoscopy mask zeroes the
+        # frame borders, so conv border artifacts never enter training
+        # or the runtime; mask_margin reproduces that property)
+        self.mask_margin = int(mask_margin)
         self._cam = PinholeCamera(
             fx=width * 1.2, fy=width * 1.2, cx=width / 2 - 0.5,
             cy=height / 2 - 0.5, width=width, height=height,
@@ -468,8 +483,19 @@ class Bowl3DInterface(CameraInterface):
     def intrinsics(self) -> PinholeCamera:
         return self._cam
 
-    def mask(self) -> np.ndarray:
-        return np.ones((self.h, self.w), np.float32)
+    def mask(self, height=None, width=None) -> np.ndarray:
+        h = height or self.h
+        w = width or self.w
+        m = np.ones((h, w), np.float32)
+        if self.mask_margin > 0:
+            # margin scales with the viewport like the reference's mask
+            my = max(1, round(self.mask_margin * h / self.h))
+            mx = max(1, round(self.mask_margin * w / self.w))
+            m[:my] = 0.0
+            m[-my:] = 0.0
+            m[:, :mx] = 0.0
+            m[:, -mx:] = 0.0
+        return m
 
     # -- trajectory ---------------------------------------------------
 
@@ -585,7 +611,7 @@ class Bowl3DInterface(CameraInterface):
         return dict(
             color=color,
             depth=depth,
-            mask=np.ones((h, w), np.float32),
+            mask=self.mask(h, w),
             intrinsics=np.array(
                 [cam.fx, cam.fy, cam.cx, cam.cy], np.float32
             ),

@@ -48,7 +48,9 @@ def test_ate_on_synthetic_lateral_motion():
     # = 12 px of window shift = 12/fx ~ 0.25 units of translation
     span = float(np.linalg.norm(gt[-1] - gt[0]))
     assert span > 0.1
-    assert err_sim3 < 0.25 * span, (err_sim3, span)
+    # measured 0.118 * span on this seeded chain (round-3); the bound
+    # leaves ~25% headroom instead of the old catastrophe-only 0.25
+    assert err_sim3 < 0.15 * span, (err_sim3, span)
     # the estimated trajectory must actually move (not a degenerate
     # all-identity solution aligned by scale ~0)
     assert float(np.linalg.norm(est[-1] - est[0])) > 1e-3
