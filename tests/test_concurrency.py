@@ -223,3 +223,28 @@ def test_threaded_driver_runs_without_global_lock():
     for _, pose in system.trajectory:
         assert np.all(np.isfinite(np.array(pose.trans)))
     assert system.store.num_active >= 2
+
+
+def test_driver_drains_loop_search_before_refine():
+    """Keyframes created on the last frames must still be loop-searched:
+    the driver drains both loop backends after stopping the workers and
+    before the final refinement (the reference joins its loop threads
+    only after RefineMapping, live_demo.cpp:252-257). Regression for the
+    end-of-run race that silently disabled final-revisit closures."""
+    from sage_slam_tpu.frontend.driver import SlamDriver
+    from sage_slam_tpu.loop import vocabulary
+
+    system, _ = tiny_system(num_frames=10, max_keyframes=16)
+    data = OutAndBack(
+        num_frames=10, height=32, width=40, seed=5, motion_scale=0.03
+    )
+    voc = build_vocab_for(system, data)
+    system.voc = voc
+    system.bow_db = vocabulary.BowDatabase(voc, system.cfg.max_keyframes)
+    # workers disabled entirely: without the drain, NOTHING would search
+    driver = SlamDriver(system, use_native_threads=False)
+    driver.run(data)
+    n = system.store.num_active
+    assert n >= 2
+    assert system.store.local_loop_searched[:n].all()
+    assert system.store.global_loop_searched[:n].all()
