@@ -236,6 +236,26 @@ def main(argv=None):
     }
     print("mesh:", json.dumps(report["mesh"]), flush=True)
 
+    # fly-through renders along the keyframe trajectory
+    # (generate_reconstruction_fly_through.py role)
+    try:
+        from PIL import Image
+
+        way = [
+            SE3(jnp.asarray(r, jnp.float32), jnp.asarray(t, jnp.float32))
+            for (r, t) in kf_poses
+        ]
+        fly = tsdf.fly_through(vol, cam, way, num_frames=8, point_size=2)
+        fly_dir = os.path.join(args.out_dir, "fly_through")
+        os.makedirs(fly_dir, exist_ok=True)
+        for i, fr_img in enumerate(fly):
+            Image.fromarray(fr_img).save(
+                os.path.join(fly_dir, f"fly_{i:02d}.png")
+            )
+        report["mesh"]["fly_through_frames"] = len(fly)
+    except Exception as e:  # rendering is best-effort
+        print(f"fly-through skipped: {e}")
+
     report["wall_total_s"] = round(time.time() - t_all, 1)
     with open(os.path.join(args.out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)

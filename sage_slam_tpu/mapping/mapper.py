@@ -607,6 +607,7 @@ class Mapper:
                 snap_vars, sharded, self.cam_pyr, self.cfg.mapper,
                 umask_k, mesh,
                 max_iters=max_iters or self.cfg.mapper.max_gn_iters,
+                use_conv=full,
             )
         else:
             shapes = (

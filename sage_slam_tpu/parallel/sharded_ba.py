@@ -112,16 +112,28 @@ _STEP_CACHE: dict = {}
 
 
 def make_sharded_step(
-    cam_pyr: CameraPyramid, cfg, mesh: Mesh, max_iters: int
+    cam_pyr: CameraPyramid, cfg, mesh: Mesh, max_iters: int,
+    use_conv: bool = False,
 ):
     """Jitted (variables, window, photo_edges, geo_edges, priors,
     update_mask) -> (variables, error, iterations, converged) for the
     edge-sharded LM loop, cached so repeated calls reuse the compiled
-    executable (jit then caches per argument shapes)."""
-    key = (cam_pyr, cfg, mesh, max_iters)
+    executable (jit then caches per argument shapes). ``use_conv``
+    enables the same relinearization-threshold early exit as the
+    single-device run_ba (RefineMapping parity)."""
+    key = (cam_pyr, cfg, mesh, max_iters, use_conv)
     hit = _STEP_CACHE.get(key)
     if hit is not None:
         return hit
+
+    conv_fn = None
+    if use_conv:
+
+        def conv_fn(delta, grad):
+            return jnp.logical_or(
+                jnp.max(jnp.abs(grad)) < cfg.relin_grad_thresh,
+                jnp.max(jnp.abs(delta)) < cfg.relin_param_inc_thresh,
+            )
 
     def local_fn(v, window, pe, ge, re, priors, umask):
         me = jax.lax.axis_index(AXIS)
@@ -163,6 +175,7 @@ def make_sharded_step(
             max_damp=cfg.gn_max_damp,
             damp_dec=cfg.gn_damp_dec_factor,
             damp_inc=cfg.gn_damp_inc_factor,
+            conv_fn=conv_fn,
         )
 
     fn = jax.jit(
@@ -186,10 +199,11 @@ def sharded_run_ba(
     update_mask: jax.Array,
     mesh: Mesh,
     max_iters: int = 4,
+    use_conv: bool = False,
 ):
     """Run the LM loop with edge-sharded linearization. Returns
     (variables, error, iterations, converged), replicated."""
-    fn = make_sharded_step(cam_pyr, cfg, mesh, max_iters)
+    fn = make_sharded_step(cam_pyr, cfg, mesh, max_iters, use_conv)
     assert problem.reproj_edges is not None, (
         "sharded_run_ba requires shard_problem() first (it synthesizes an "
         "all-invalid reprojection table when the graph has none)"
