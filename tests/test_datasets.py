@@ -168,3 +168,47 @@ def test_bowl3d_revisit_and_rotation():
     # and the depth field has real variation (a 3D scene, not a plane)
     _, depth, _ = data.render(5)
     assert depth.max() - depth.min() > 0.05
+
+
+def test_bowl3d_url_query_parsing():
+    """from_url must map bowl3d:// query params onto Bowl3DInterface
+    kwargs (ints/floats inferred), overriding caller defaults."""
+    from sage_slam_tpu.io.dataset import from_url
+
+    d = from_url(
+        "bowl3d://?num_frames=7&orbit_radius=0.33&mask_margin=4",
+        num_frames=99, height=32, width=40,
+    )
+    assert d.n == 7  # query overrides the caller default
+    assert abs(d.r_orbit - 0.33) < 1e-9
+    assert d.mask_margin == 4
+    assert d.h == 32 and d.w == 40  # caller defaults kept
+    m = d.mask()
+    assert m[0, 0] == 0.0 and m[16, 20] == 1.0
+
+
+def test_netcfg_sidecar_roundtrip(tmp_path):
+    """export_networks' netcfg.json restores the exact NamedTuple
+    configs (lists back to tuples — they key jit caches)."""
+    import json
+    import os
+
+    from sage_slam_tpu.models.depth_network import DepthNetConfig
+    from sage_slam_tpu.models.feature_network import FeatureNetConfig
+    from sage_slam_tpu.training.export import load_net_configs
+
+    dcfg = DepthNetConfig(
+        filter_list=(4, 8), bottleneck=8, bias_inner=(8, 1),
+        basis_inner=((8, 4),),
+    )
+    fcfg = FeatureNetConfig(
+        filter_list=(4, 8), bottleneck=8, desc_inner=(8, 8),
+        map_inner=(8, 8),
+    )
+    path = os.path.join(tmp_path, "netcfg.json")
+    with open(path, "w") as f:
+        json.dump({"depth": dcfg._asdict(), "feat": fcfg._asdict()}, f)
+    d2, f2 = load_net_configs(path)
+    assert d2 == dcfg  # tuple-for-tuple equality (hashable)
+    assert f2 == fcfg
+    hash(d2)  # must be usable as a jit cache key
