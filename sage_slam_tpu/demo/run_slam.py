@@ -140,10 +140,16 @@ def main(argv=None):
     ys = (np.arange(h_out) * mask_full.shape[0] / h_out).astype(int)
     xs = (np.arange(w_out) * mask_full.shape[1] / w_out).astype(int)
     mask_out = jnp.asarray(mask_full[np.ix_(ys, xs)])
+    # input-res mask fed to the partial-conv networks (the reference's
+    # fine_video_mask, training.py:485-521)
+    h_in, w_in = cfg.net_input_size
+    ys_in = (np.arange(h_in) * mask_full.shape[0] / h_in).astype(int)
+    xs_in = (np.arange(w_in) * mask_full.shape[1] / w_in).astype(int)
+    mask_in = jnp.asarray(mask_full[np.ix_(ys_in, xs_in)])
 
     system = SlamSystem(
         cfg, out_cam, mask_out, depth_params, feat_params, voc=voc,
-        depth_cfg=depth_cfg, feat_cfg=feat_cfg,
+        depth_cfg=depth_cfg, feat_cfg=feat_cfg, video_mask_in=mask_in,
     )
     driver = SlamDriver(system, use_native_threads=not args.no_threads)
 

@@ -93,13 +93,14 @@ class SlamSystem:
         voc: Optional[vocabulary.Vocabulary] = None,
         depth_cfg=None,
         feat_cfg=None,
+        video_mask_in=None,  # [H, W] input-res mask for the nets
     ):
         self.cfg = cfg
         self.cam = camera
         self.cam_pyr = CameraPyramid.build(camera, cfg.pyramid_levels)
         self.mapper = Mapper(
             cfg, self.cam_pyr, video_mask, depth_params, feat_params,
-            depth_cfg, feat_cfg,
+            depth_cfg, feat_cfg, video_mask_in=video_mask_in,
         )
         self.store = self.mapper.store
         self.voc = voc

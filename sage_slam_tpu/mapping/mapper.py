@@ -62,11 +62,17 @@ class Mapper:
         feat_params,
         depth_cfg=None,
         feat_cfg=None,
+        video_mask_in: Optional[jax.Array] = None,  # [H, W] input res
     ):
         self.cfg = cfg
         self.cam_pyr = cam_pyr
         self.mask = video_mask
         self.mask_flat = video_mask.reshape(-1)
+        # input-resolution video mask fed to the partial-conv networks
+        # (the reference's forward_train(x, mask=fine_video_mask),
+        # training.py:485-521 / code_depth_network inference); None
+        # falls back to all-ones (standard convs)
+        self.mask_in = video_mask_in
         self.depth_params = depth_params
         self.feat_params = feat_params
         self.depth_cfg = depth_cfg or depth_network.DepthNetConfig(
@@ -116,7 +122,11 @@ class Mapper:
 
     def _build_frame_device(self, image, key):
         """image [3, H, W] (input res). Returns device tensors."""
-        in_mask = jnp.ones((1,) + image.shape[1:], image.dtype)
+        in_mask = (
+            self.mask_in[None].astype(image.dtype)
+            if self.mask_in is not None
+            else jnp.ones((1,) + image.shape[1:], image.dtype)
+        )
         fmap, fdesc = feature_network.apply(
             self.feat_params, image, in_mask, self.feat_cfg
         )

@@ -102,9 +102,17 @@ def init_state(
     return state, tx, disc_tx
 
 
-def _prep_frame(params, image, mask_out, cam_pyr, depth_cfg, feat_cfg, key, n_samples):
-    """Network inference + pyramids for one frame (device)."""
-    in_mask = jnp.ones((1,) + image.shape[1:], image.dtype)
+def _prep_frame(params, image, mask_out, cam_pyr, depth_cfg, feat_cfg,
+                key, n_samples, mask_in=None):
+    """Network inference + pyramids for one frame (device). ``mask_in``
+    is the input-res video mask fed to the partial convs (the
+    reference's forward_train(x, mask=fine_video_mask),
+    training.py:485-521); None -> all-ones."""
+    in_mask = (
+        mask_in[None].astype(image.dtype)
+        if mask_in is not None
+        else jnp.ones((1,) + image.shape[1:], image.dtype)
+    )
     fmap, fdesc = feature_network.apply(params["feat"], image, in_mask, feat_cfg)
     bias, basis = depth_network.apply(params["depth"], image, in_mask, depth_cfg)
     cs = basis.shape[0]
@@ -133,15 +141,20 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
         cam = cam_pyr[0]
         mask = batch["mask"]
         k0, k1 = jax.random.split(key)
+        mask_in = batch.get("mask_in")
         f_src = _prep_frame(
             gen_params, batch["image_src"], mask, cam_pyr, depth_cfg,
-            feat_cfg, k0, cfg.num_photo_samples,
+            feat_cfg, k0, cfg.num_photo_samples, mask_in=mask_in,
         )
         f_close = _prep_frame(
             gen_params, batch["image_close"], mask, cam_pyr, depth_cfg,
-            feat_cfg, k1, cfg.num_photo_samples,
+            feat_cfg, k1, cfg.num_photo_samples, mask_in=mask_in,
         )
-        in_mask = jnp.ones((1,) + batch["image_far"].shape[1:])
+        in_mask = (
+            mask_in[None]
+            if mask_in is not None
+            else jnp.ones((1,) + batch["image_far"].shape[1:])
+        )
         _, fdesc_far = feature_network.apply(
             gen_params["feat"], batch["image_far"], in_mask, feat_cfg
         )
@@ -567,7 +580,14 @@ def triplet_to_batch(t: Triplet, cam) -> dict:
     no_match = (
         t.no_match_src if t.no_match_src is not None else t.keypoints_src
     )
+    # input-res video mask for the partial convs (nearest upsample of
+    # the triplet's output-res mask — the fine_video_mask role)
+    h_in, w_in = t.image_src.shape[1:]
+    ys = (np.arange(h_in) * h / h_in).astype(int)
+    xs = (np.arange(w_in) * w / w_in).astype(int)
+    mask_in = t.mask[np.ix_(ys, xs)]
     return dict(
+        mask_in=jnp.asarray(mask_in.astype(np.float32)),
         image_src=jnp.asarray(t.image_src),
         image_close=jnp.asarray(t.image_close),
         image_far=jnp.asarray(t.image_far),
