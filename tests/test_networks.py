@@ -116,3 +116,66 @@ def test_masked_region_zeroed():
     # interior of the masked half (away from the boundary) is zero
     assert np.abs(np.array(out)[:, :, :6]).max() == 0.0
     assert np.array(m)[0, :, :6].max() == 0.0
+
+
+def test_partial_conv_video_mask_wiring():
+    """The input-res video mask must reach the partial convs: a bordered
+    mask changes the network output near the border (mask-aware
+    renormalization) but an all-ones mask is the standard-conv result —
+    and the Mapper feeds its video_mask_in through build_frame
+    (reference forward_train(x, mask=fine_video_mask),
+    training.py:485-521)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sage_slam_tpu.models import depth_network
+
+    cfg = depth_network.DepthNetConfig(
+        filter_list=(4, 8), bottleneck=8, bias_inner=(8, 1),
+        basis_inner=((8, 4),),
+    )
+    params = depth_network.init_params(jax.random.key(0), cfg)
+    img = jnp.asarray(
+        np.random.default_rng(0).random((3, 32, 40)), jnp.float32
+    )
+    ones = jnp.ones((1, 32, 40))
+    bordered = jnp.asarray(
+        np.pad(np.ones((28, 36), np.float32), 2)[None]
+    )
+    b_ones, _ = depth_network.apply(params, img, ones, cfg)
+    b_mask, _ = depth_network.apply(params, img, bordered, cfg)
+    assert np.isfinite(np.array(b_mask)).all()
+    # the mask changes the output (partial conv is mask-aware) ...
+    assert not np.allclose(np.array(b_ones), np.array(b_mask))
+
+    # ... and the Mapper actually wires video_mask_in into build_frame
+    from sage_slam_tpu.config import MapperConfig, SlamConfig, TrackerConfig
+    from sage_slam_tpu.geometry.camera import CameraPyramid, PinholeCamera
+    from sage_slam_tpu.mapping.mapper import Mapper
+    from sage_slam_tpu.models import feature_network
+
+    fcfg = feature_network.FeatureNetConfig(
+        filter_list=(4, 8), bottleneck=8, desc_inner=(8, 8),
+        map_inner=(8, 8),
+    )
+    fparams = feature_network.init_params(jax.random.key(1), fcfg)
+    cam = PinholeCamera(fx=24.0, fy=24.0, cx=9.5, cy=7.5, width=20,
+                        height=16)
+    pyr = CameraPyramid.build(cam, 3)
+    scfg = SlamConfig(
+        net_input_size=(32, 40), net_output_size=(16, 20), code_size=4,
+        feat_size=8, pyramid_levels=3, max_keyframes=4,
+        tracker=TrackerConfig(desc_num_keypoints=16),
+        mapper=MapperConfig(pho_num_samples=32, desc_num_keypoints=16),
+    )
+    out_mask = jnp.ones((16, 20))
+    mk = lambda m_in: Mapper(
+        scfg, pyr, out_mask, params, fparams, cfg, fcfg,
+        video_mask_in=m_in,
+    )
+    fr_ones = mk(None).build_frame(0.0, img)
+    fr_mask = mk(bordered[0]).build_frame(0.0, img)
+    assert not np.allclose(
+        np.array(fr_ones.bias_flat), np.array(fr_mask.bias_flat)
+    )
