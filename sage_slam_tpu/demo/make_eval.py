@@ -35,7 +35,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=24)
     p.add_argument("--train_triplets", type=int, default=16)
     p.add_argument("--train_frames", type=int, default=32)
-    p.add_argument("--eval_frames", type=int, default=24)
+    p.add_argument("--eval_frames", type=int, default=32)
     p.add_argument("--max_keyframes", type=int, default=32)
     args = p.parse_args(argv)
 
@@ -126,7 +126,7 @@ def main(argv=None):
 
     # 4. the SLAM run through the demo CLI (threaded driver) on a
     #    held-out orbit that ends where it started (exact revisit)
-    from ..config import SlamConfig
+    from ..config import LoopConfig, SlamConfig
     from . import run_slam
 
     eval_bowl = dict(num_frames=args.eval_frames, height=128, width=160,
@@ -135,7 +135,13 @@ def main(argv=None):
     url_eval = "bowl3d://?" + "&".join(
         f"{k}={v}" for k, v in eval_bowl.items()
     )
-    cfg = SlamConfig(max_keyframes=args.max_keyframes)
+    # the reference's global_active_window=10 assumes hundreds of
+    # keyframes; a ~15-keyframe demo needs a proportionally smaller
+    # temporal exclusion for a revisit to qualify at all
+    cfg = SlamConfig(
+        max_keyframes=args.max_keyframes,
+        loop=LoopConfig(global_active_window=6),
+    )
     cfg_path = os.path.join(args.out_dir, "slam_config.json")
     cfg.to_json(cfg_path)
     run_dir = os.path.join(args.out_dir, "slam_run")
