@@ -249,6 +249,40 @@ def growth_curve():
             jax.block_until_ready(out)
             row[name] = round((time.time() - t0) / 5 * 1000, 2)
             row[f"{name}_edges"] = 2 * len(ps)
+
+        # compact windowed step (round-3 verdict #2 / Mapper.mapping_step
+        # production path): solve + tables sized by the window-INCIDENT
+        # keyframe set, not the whole map — near-flat cost vs k
+        ids = sorted(
+            set(range(lo, k))
+            | {a for p in win_pairs for a in p}
+        )
+        kc = len(ids)
+        kc_pad = kc  # exact size; production buckets geometrically
+        id_map = {kf: c for c, kf in enumerate(ids)}
+        cpairs = [(id_map[a], id_map[b]) for a, b in win_pairs]
+        problem = ba.BAProblem(window, table(cpairs), table(cpairs), priors)
+        problem = ba.prepare_problem(problem, pyr)
+        ids_arr = jnp.asarray(np.asarray(ids, np.int32))
+        pvalid = jnp.ones(kc_pad)
+        umask_c = jnp.asarray(
+            np.array([1.0 if kf >= lo else 0.0 for kf in ids], np.float32)
+        )
+
+        def cstep(v, p=problem, ids_=ids_arr, pv=pvalid, um=umask_c):
+            compact = ba.compact_problem_keyframes(p, ids_, pv, pyr)
+            v_c = jax.tree.map(lambda x: x[ids_], v)
+            return ba.run_ba(v_c, compact, pyr, cfg, um, max_iters=1)
+
+        cstep_j = jax.jit(cstep)
+        out = cstep_j(variables)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(5):
+            out = cstep_j(variables)
+        jax.block_until_ready(out)
+        row["compact"] = round((time.time() - t0) / 5 * 1000, 2)
+        row["compact_keyframes"] = kc
         results.append(row)
         print(json.dumps(row))
     return results

@@ -21,7 +21,13 @@ class TrackerConfig:
     min_param_inc_thresh: float = 1.0e-2
     init_damp: float = 1.0e-4
     min_damp: float = 1.0e-6
-    max_damp: float = 1.0e-2
+    # the reference's BUILT-IN default (main.cpp:185 tracking_min_max_damp
+    # "1.0e-6,1.0e6"); its bag_1 flagfile narrows this to 1e-2
+    # (slam_run.flags:21) because its trained features are nearly
+    # quadratic — with generic/handcrafted features the LM needs the
+    # full damping range to shrink steps instead of giving up after two
+    # rejections
+    max_damp: float = 1.0e6
     damp_dec_factor: float = 10.0
     damp_inc_factor: float = 100.0
     jac_update_err_inc_threshold: float = 1.0e-2
@@ -38,6 +44,17 @@ class TrackerConfig:
     dpt_eps: float = 1.0e-6
     # robust translation-inlier filter (TEASER-equivalent) settings
     teaser_noise_bound_multiplier: float = 2.0
+    # bilinear (soft) mask gate for the photometric term: the binary
+    # nearest-corner gate (reference parity,
+    # photometric_factor_kernels.cpp:159-166) makes the mean-normalized
+    # cost discontinuous at the mask border — LM wedges on the gate-flip
+    # cliffs when many samples straddle it (interp.quad_bilinear_select_cm)
+    soft_inlier_gate: bool = True
+    # two-phase LM: align on the two coarsest pyramid levels first,
+    # then refine with all levels (tracker.lm_track). Widens the
+    # convergence basin for features that are not trained-smooth; the
+    # reference sums all levels at once (camera_tracker.cpp:1156)
+    coarse_to_fine: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +94,15 @@ class MapperConfig:
     # accepted step's gradient or parameter increment falls below these
     relin_grad_thresh: float = 1.0e-4
     relin_param_inc_thresh: float = 1.0e-3
+    # bilinear (soft) photometric mask gate (see TrackerConfig)
+    soft_inlier_gate: bool = True
+    # normal-equation solver inside the LM loop: "dense" (one masked
+    # Cholesky of the (bd*K)^2 system), "schur" (eliminate each
+    # keyframe's code+scale dims first — solver/graph.schur_solve,
+    # SURVEY.md §7.1), or "auto" (schur above schur_min_keyframes,
+    # where the smaller factorizations win; dense below it)
+    solver: str = "auto"
+    schur_min_keyframes: int = 48
     # photometric J^T W J reduce backend: "xla" (fused dot_generals) or
     # "pallas" (ops/pallas_kernels.photo_reduce_pallas, one fused Mosaic
     # kernel; numerically equivalent, benchmarked within ~5% of each

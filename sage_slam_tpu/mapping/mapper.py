@@ -81,18 +81,30 @@ class Mapper:
         self.feat_cfg = feat_cfg or feature_network.FeatureNetConfig()
 
         h, w = video_mask.shape
+        # valid pixel ids of the static mask (GenerateValidLocations)
+        valid = np.flatnonzero(np.array(video_mask).reshape(-1) > 0.5)
+        self.valid_loc1d = jnp.asarray(valid.astype(np.int32))
+        # the sample count can never exceed the mask's valid pixels
+        # (replacement-free seeded sampling, mapper.cpp:1222-1237); at
+        # diagnostic resolutions the reference's 3072 would otherwise
+        # overrun the valid set and corrupt every downstream shape
+        self.num_samples = min(cfg.mapper.pho_num_samples, len(valid))
+        if self.num_samples < cfg.mapper.pho_num_samples:
+            import logging
+
+            logging.getLogger("sage_slam").info(
+                "pho_num_samples %d clamped to %d valid mask pixels",
+                cfg.mapper.pho_num_samples, self.num_samples,
+            )
         self.store = KeyframeStore(
             capacity=cfg.max_keyframes,
-            num_samples=cfg.mapper.pho_num_samples,
+            num_samples=self.num_samples,
             hw=h * w,
             cs=cfg.code_size,
             fs=cfg.feat_size,
             total_pyr=cam_pyr.total_pixels,
             levels=cam_pyr.levels,
         )
-        # valid pixel ids of the static mask (GenerateValidLocations)
-        valid = np.flatnonzero(np.array(video_mask).reshape(-1) > 0.5)
-        self.valid_loc1d = jnp.asarray(valid.astype(np.int32))
         self.masks_pyr = mask_pyramid(video_mask, cam_pyr.levels)
 
         # host-side edge lists: (i0, i1); parallel per-edge iteration
@@ -108,6 +120,13 @@ class Mapper:
 
         self._build_frame_jit = jax.jit(self._build_frame_device)
         self._reproj_jit = jax.jit(self._reproj_edge_device)
+        # diagnostic injection point (eval/error_budget.py): a callable
+        # ``timestamp -> depth [h, w]`` that replaces the depth network's
+        # output with an oracle depth map (bias = oracle, tiny uniform
+        # code basis). Mirrors the reference's GT-depth ablations around
+        # its eval scripts (slam_run_with_hdf5_dataset.py role); None in
+        # production.
+        self.depth_oracle = None
         self._ba_cache = {}
         # convergence telemetry of the last mapping_step (RefineMapping)
         self.last_step_iters = 0
@@ -141,7 +160,7 @@ class Mapper:
             fmap, self.masks_pyr, self.cam_pyr.levels
         )
         # seeded random photometric sampling (mapper.cpp:1222-1237)
-        n = self.cfg.mapper.pho_num_samples
+        n = self.num_samples
         perm = jax.random.permutation(key, self.valid_loc1d.shape[0])
         loc1d = jnp.take(self.valid_loc1d, perm[:n])
         homo = interp.locations_1d_to_homo(loc1d, self.cam_pyr[0])
@@ -184,6 +203,16 @@ class Mapper:
             bias_flat, jac_flat, feat_pyr, grad_pyr, desc, src_feats, loc1d,
             homo, avg_sq, tables, bias_at, jac_at
         ) = self._build_frame_jit(image, key)
+        if self.depth_oracle is not None:
+            bias_flat = jnp.asarray(
+                self.depth_oracle(timestamp), bias_flat.dtype
+            ).reshape(-1)
+            jac_flat = jnp.full_like(jac_flat, 0.01)
+            bias_at = jnp.take(bias_flat, loc1d)
+            jac_at = jnp.take(jac_flat, loc1d, axis=0)
+            avg_sq = jnp.sum((bias_flat * self.mask_flat) ** 2) / jnp.sum(
+                self.mask_flat
+            )
         packed_fg, packed_feat, dense_fg, dense_feat, _, _ = tables
         return FrameData(
             timestamp=timestamp,
@@ -492,10 +521,8 @@ class Mapper:
                 ed for ed in self.reproj_edges if ed.get("iters", 1) > 0
             ]
 
-    def build_problem(
-        self, window_lo: int = 0, num_active: int | None = None
-    ) -> ba.BAProblem:
-        n_act = num_active if num_active is not None else self.store.num_active
+    def _prior_table(self, num_active: int) -> ba.PriorTable:
+        """Full-capacity per-keyframe priors (mapper.cpp:188-196)."""
         k = self.store.capacity
         scale_valid = np.zeros(k, np.float32)
         scale_init = np.ones(k, np.float32)
@@ -507,14 +534,20 @@ class Mapper:
         if hasattr(self, "_pose_anchor"):
             pose_valid[self._pose_anchor] = 1.0
         code_valid = np.zeros(k, np.float32)
-        code_valid[:n_act] = 1.0
-        priors = ba.PriorTable(
+        code_valid[:num_active] = 1.0
+        return ba.PriorTable(
             code_valid=jnp.asarray(code_valid),
             scale_valid=jnp.asarray(scale_valid),
             scale_init=jnp.asarray(scale_init),
             pose_valid=jnp.asarray(pose_valid),
             pose_target=SE3.identity((k,)),
         )
+
+    def build_problem(
+        self, window_lo: int = 0, num_active: int | None = None
+    ) -> ba.BAProblem:
+        n_act = num_active if num_active is not None else self.store.num_active
+        priors = self._prior_table(n_act)
         ph_sel, ge_sel, rp_sel = self._active_edge_selection(window_lo)
         self._last_selection = (ph_sel, ge_sel, rp_sel)
         return ba.BAProblem(
@@ -568,31 +601,98 @@ class Mapper:
         loop-rewritten during the solve keep their store values."""
         with self.store.lock:
             if self.store.num_active < 2:
+                # reset telemetry: RefineMapping must not act on stale
+                # iteration counts from a previous solve (advisor r3)
+                self.last_step_iters = 0
+                self.last_step_converged = False
                 return 0.0
             snap_n, snap_version, snap_vars = self.store.snapshot()
             k = self.store.capacity
-            # size the solve to a geometric bucket of the ACTIVE keyframe
-            # count (not store capacity): linearization, the per-iteration
-            # geometric table build and the dense solve all scale with kb,
-            # and the bucket keeps recompiles to O(log K)
-            kb = min(k, _round_up(snap_n, 8))
-            active = np.zeros(kb, np.float32)
             w = self.cfg.mapper.window_size
             lo = 0 if full else max(0, snap_n - w)
-            active[lo:snap_n] = 1.0
-            # keyframes reinitialized by a loop closure are frozen for BA
-            # until the loop values are absorbed (df_work.cpp:62-69)
-            active[self.store.reinitialize_count[:kb] > 0] = 0.0
-            update_mask = jnp.asarray(active)
-            if self.store.aux[:kb].any():
-                # aux (non-keyframe) frames are pose-only variables:
-                # freeze their code + scale (AuxPoseKey, df_work.cpp:41)
-                bd = 7 + snap_vars.code.shape[-1]
-                comp = np.ones((kb, bd), np.float32)
-                comp[self.store.aux[:kb], 6:] = 0.0
-                update_mask = jnp.asarray(active[:, None] * comp)
-            problem = self.build_problem(window_lo=lo, num_active=snap_n)
-            selection = self._last_selection
+            if mesh is not None:
+                # multi-chip path keeps full-capacity tables (sharded
+                # over the mesh below); mask sized to the active bucket
+                kb = min(k, _round_up(snap_n, 8))
+                active = np.zeros(kb, np.float32)
+                active[lo:snap_n] = 1.0
+                active[self.store.reinitialize_count[:kb] > 0] = 0.0
+                update_mask = jnp.asarray(active)
+                if self.store.aux[:kb].any():
+                    bd = 7 + snap_vars.code.shape[-1]
+                    comp = np.ones((kb, bd), np.float32)
+                    comp[self.store.aux[:kb], 6:] = 0.0
+                    update_mask = jnp.asarray(active[:, None] * comp)
+                problem = self.build_problem(window_lo=lo, num_active=snap_n)
+                selection = self._last_selection
+            else:
+                # ----- compact window step (ISAM2-sublinearity analog,
+                # SURVEY.md §7.1): the solve involves only keyframes
+                # incident to the window's edges, so the dense system
+                # and the per-iteration geometric tables are sized by
+                # the WINDOW (bounded), not the whole map. Frozen
+                # non-incident keyframes contribute only constants to
+                # the total error, which cancel in every accept test.
+                ph_sel, ge_sel, rp_sel = self._active_edge_selection(lo)
+                selection = (ph_sel, ge_sel, rp_sel)
+                self._last_selection = selection
+                idset = set(range(lo, snap_n))
+                for n in ph_sel:
+                    idset.update(self.photo_edges[n])
+                for n in ge_sel:
+                    idset.update(self.geo_edges[n])
+                for n in rp_sel:
+                    ed = self.reproj_edges[n]
+                    idset.update((ed["i0"], ed["i1"]))
+                ids = sorted(idset)
+                kc = min(k, _round_up(max(len(ids), 2), 8))
+                # pad with DISTINCT unused rows so the write-back scatter
+                # has unique indices (a duplicated free row would race
+                # its own frozen copy)
+                pad_ids = [i for i in range(k) if i not in idset][
+                    : kc - len(ids)
+                ]
+                ids_full = np.asarray(ids + pad_ids, np.int32)
+                pad_valid = np.zeros(kc, np.float32)
+                pad_valid[: len(ids)] = 1.0
+                id_map = {kf: c for c, kf in enumerate(ids)}
+                active = np.zeros(kc, np.float32)
+                for c, kf in enumerate(ids):
+                    if (
+                        lo <= kf < snap_n
+                        and self.store.reinitialize_count[kf] == 0
+                    ):
+                        active[c] = 1.0
+                update_mask = jnp.asarray(active)
+                if any(self.store.aux[kf] for kf in ids):
+                    bd = 7 + snap_vars.code.shape[-1]
+                    comp = np.ones((kc, bd), np.float32)
+                    for c, kf in enumerate(ids):
+                        if self.store.aux[kf]:
+                            comp[c, 6:] = 0.0
+                    update_mask = jnp.asarray(active[:, None] * comp)
+                remap = lambda e: (id_map[e[0]], id_map[e[1]])
+                problem = ba.BAProblem(
+                    window=self.store.window_data(self.mask_flat),
+                    photo_edges=self._edge_table(
+                        [remap(self.photo_edges[n]) for n in ph_sel], 128
+                    ),
+                    geo_edges=self._edge_table(
+                        [remap(self.geo_edges[n]) for n in ge_sel], 128
+                    ),
+                    priors=self._prior_table(snap_n),
+                    reproj_edges=self._reproj_table(
+                        [
+                            dict(
+                                self.reproj_edges[n],
+                                i0=id_map[self.reproj_edges[n]["i0"]],
+                                i1=id_map[self.reproj_edges[n]["i1"]],
+                            )
+                            for n in rp_sel
+                        ],
+                        32,
+                    ),
+                )
 
         if self.solve_hook is not None:  # test injection point
             self.solve_hook()
@@ -621,27 +721,28 @@ class Mapper:
             )
         else:
             shapes = (
+                "compact",
                 problem.photo_edges.i0.shape[0],
                 problem.geo_edges.i0.shape[0],
                 problem.reproj_edges.i0.shape[0],
-                kb,
+                kc,
                 full,
             )
             fn = self._ba_cache.get(shapes)
             if fn is None:
 
-                def _step(variables, prob, update_mask, max_iters, kb=kb,
-                          use_conv=full):
-                    sliced = ba.slice_problem_keyframes(
-                        prob, kb, self.cam_pyr
+                def _step(variables, prob, ids, pvalid, update_mask,
+                          max_iters, use_conv=full):
+                    compact = ba.compact_problem_keyframes(
+                        prob, ids, pvalid, self.cam_pyr
                     )
-                    v_kb = jax.tree.map(lambda x: x[:kb], variables)
+                    v_c = jax.tree.map(lambda x: x[ids], variables)
                     vs, err, iters, conv = ba.run_ba(
-                        v_kb, sliced, self.cam_pyr, self.cfg.mapper,
+                        v_c, compact, self.cam_pyr, self.cfg.mapper,
                         update_mask, max_iters, use_conv=use_conv,
                     )
                     v_full = jax.tree.map(
-                        lambda full_, part: full_.at[:kb].set(part),
+                        lambda full_, part: full_.at[ids].set(part),
                         variables, vs,
                     )
                     return v_full, err, iters, conv
@@ -651,6 +752,8 @@ class Mapper:
             variables, err, iters, conv = fn(
                 snap_vars,
                 problem,
+                jnp.asarray(ids_full),
+                jnp.asarray(pad_valid),
                 update_mask,
                 max_iters or self.cfg.mapper.max_gn_iters,
             )

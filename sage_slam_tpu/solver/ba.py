@@ -137,6 +137,65 @@ def slice_problem_keyframes(
     return problem._replace(window=window, priors=priors)
 
 
+def compact_problem_keyframes(
+    problem: "BAProblem",
+    ids: jax.Array,  # [kc] int32 store row per compact slot (distinct)
+    pad_valid: jax.Array,  # [kc] 1 for real entries, 0 for padding rows
+    cam_pyr: CameraPyramid,
+) -> "BAProblem":
+    """Gather the window/prior rows of ``ids`` into a compact problem
+    (run inside jit so the gathers fuse with the step).
+
+    This is the ISAM2-sublinearity move the windowed mapping step needs
+    (SURVEY.md §7.1 / mapper.cpp:469-612): the solve's dense system and
+    the per-iteration geometric frame-1 tables are sized by the number
+    of WINDOW-INCIDENT keyframes (bounded by the window's edges), not by
+    the whole map, so windowed-step cost stays near-flat as keyframes
+    accumulate. Edge tables must already be expressed in compact
+    indices; ``pad_valid`` zeroes the prior rows of padding entries so
+    the compact total error differs from the full-capacity solve only
+    by a variable-independent constant (which cancels in every LM
+    accept test)."""
+    w = problem.window
+    k = w.bias_flat.shape[0]
+
+    def cols(t):
+        if t is None:
+            return None
+        cw = t.shape[0]
+        return t.reshape(cw, k, -1)[:, ids].reshape(cw, -1)
+
+    window = w._replace(
+        loc1d=w.loc1d[ids],
+        homo=w.homo[ids],
+        bias_flat=w.bias_flat[ids],
+        jac_flat=w.jac_flat[ids],
+        feat_pyr=w.feat_pyr[:, ids],
+        grad_pyr=w.grad_pyr[:, :, ids],
+        src_feats=w.src_feats[ids],
+        avg_sq_bias=w.avg_sq_bias[ids],
+        packed_fg=cols(w.packed_fg),
+        packed_feat=cols(w.packed_feat),
+        bias_at=None if w.bias_at is None else w.bias_at[ids],
+        jac_at=None if w.jac_at is None else w.jac_at[ids],
+        dense_fg=tuple(d[ids] for d in w.dense_fg),
+        dense_feat=tuple(d[ids] for d in w.dense_feat),
+        mega_fg=None,
+        mega_feat=None,
+    )
+    pr = problem.priors
+    priors = PriorTable(
+        code_valid=pr.code_valid[ids] * pad_valid,
+        scale_valid=pr.scale_valid[ids] * pad_valid,
+        scale_init=pr.scale_init[ids],
+        pose_valid=pr.pose_valid[ids] * pad_valid,
+        pose_target=SE3(
+            pr.pose_target.rot[ids], pr.pose_target.trans[ids]
+        ),
+    )
+    return problem._replace(window=window, priors=priors)
+
+
 class EdgeTable(NamedTuple):
     """Directed factor edges kf[i0] -> frame[i1], padded with valid=0."""
 
@@ -285,7 +344,8 @@ def linearize(
 
             fgs, f0cm, gate, kx, ky = jax.vmap(
                 lambda a, b, cc, d, e_, f, sh: photometric.photo_prep(
-                    a, b, cc, d, e_, f, sh, cam_pyr, cfg.dpt_eps
+                    a, b, cc, d, e_, f, sh, cam_pyr, cfg.dpt_eps,
+                    soft=getattr(cfg, "soft_inlier_gate", False),
                 ),
                 in_axes=(0, 0, 0, 0, 0, 0, None),
             )(
@@ -314,6 +374,7 @@ def linearize(
                 return photometric.photometric_jac_error(
                     p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
                     cfg.photo_factor_weights, cfg.dpt_eps,
+                    soft=getattr(cfg, "soft_inlier_gate", False),
                 )
 
             ata, atb, err, _ = jax.vmap(
@@ -473,6 +534,7 @@ def total_error(variables: Variables, problem: BAProblem, cam_pyr, cfg):
             lambda p0, p1, c0, s0, kf0_e, fr1_e, sh: photometric.photometric_error(
                 p0, p1, c0, s0, kf0_e, fr1_e, sh, cam_pyr,
                 cfg.photo_factor_weights, cfg.dpt_eps,
+                soft=getattr(cfg, "soft_inlier_gate", False),
             ),
             in_axes=(0, 0, 0, 0, 0, 0, None),
         )(
@@ -590,6 +652,13 @@ def run_ba(
                 jnp.max(jnp.abs(delta)) < cfg.relin_param_inc_thresh,
             )
 
+    solver = getattr(cfg, "solver", "dense")
+    if solver == "auto":
+        solver = (
+            "schur"
+            if variables.num_kf >= getattr(cfg, "schur_min_keyframes", 48)
+            else "dense"
+        )
     return graph.lm_loop(
         variables,
         lambda v: linearize(v, problem, cam_pyr, cfg),
@@ -602,4 +671,5 @@ def run_ba(
         damp_dec=cfg.gn_damp_dec_factor,
         damp_inc=cfg.gn_damp_inc_factor,
         conv_fn=conv_fn,
+        solver=solver,
     )

@@ -123,6 +123,58 @@ def scatter_hessian(
     return h, b
 
 
+def schur_solve(
+    h: jax.Array,  # [D, D] damped+masked SPD system (identity frozen rows)
+    b: jax.Array,  # [D]
+    num_kf: int,
+    block_dim: int,
+) -> jax.Array:
+    """Solve H delta = b by eliminating every keyframe's (code, scale)
+    block first (SURVEY.md §7.1: "Schur complement over codes+scale").
+
+    Partition per keyframe into pose dims p (6) and code+scale dims c
+    (block_dim - 6 = CS + 1):
+
+        [App Apc] [dp]   [bp]
+        [Acp Acc] [dc] = [bc]
+
+    dc is eliminated through a Cholesky of Acc and the reduced 6K-dim
+    pose system S = App - Apc Acc^-1 Acp is solved densely. Acc is NOT
+    assumed block-diagonal — geometric/match-geometry edges couple codes
+    across keyframes (geometric_factor.h:70 keys c0 AND c1), so the
+    elimination uses the full cross-coupled Acc and the result equals
+    the dense solve exactly (up to f32 factorization roundoff; verified
+    to ~1e-5 rel in tests/test_ba.py). The payoff is structural: the
+    biggest Cholesky shrinks from (23K)^3 to (17K)^3 and the rest of
+    the work is MXU-friendly triangular solves/matmuls, and the pose
+    system S is exactly what a future pose-graph-only consumer needs.
+    """
+    d = h.shape[-1]
+    k, bd = num_kf, block_dim
+    pose_idx = jnp.asarray(
+        (jnp.arange(k)[:, None] * bd + jnp.arange(6)).reshape(-1)
+    )
+    cs_idx = jnp.asarray(
+        (jnp.arange(k)[:, None] * bd + jnp.arange(6, bd)).reshape(-1)
+    )
+    app = h[pose_idx][:, pose_idx]  # [6K, 6K]
+    apc = h[pose_idx][:, cs_idx]  # [6K, (bd-6)K]
+    acc = h[cs_idx][:, cs_idx]
+    bp = b[pose_idx]
+    bc = b[cs_idx]
+
+    chol_cc = jax.scipy.linalg.cho_factor(acc)
+    x = jax.scipy.linalg.cho_solve(chol_cc, apc.T)  # Acc^-1 Acp [17K, 6K]
+    y = jax.scipy.linalg.cho_solve(chol_cc, bc)
+    hp = jax.lax.Precision.HIGHEST
+    s = app - jnp.matmul(apc, x, precision=hp)
+    rhs = bp - jnp.matmul(apc, y[:, None], precision=hp)[:, 0]
+    dp = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(s), rhs)
+    dc = y - jnp.matmul(x, dp[:, None], precision=hp)[:, 0]
+    delta = jnp.zeros((d,), h.dtype)
+    return delta.at[pose_idx].set(dp).at[cs_idx].set(dc)
+
+
 class LMState(NamedTuple):
     variables: Variables  # last ACCEPTED variables
     error: jax.Array  # total graph error at `variables`
@@ -147,6 +199,7 @@ def lm_loop(
     damp_inc: float = 10.0,
     min_error_dec: float = 0.0,
     conv_fn=None,  # (delta [K, bd], grad [K, bd]) -> bool; on accepted step
+    solver: str = "dense",  # "dense" | "schur" (schur_solve above)
 ):
     """Deferred-acceptance damped GN (Levenberg-Marquardt) in one
     lax.while_loop. Entirely on device; no host round-trips (the
@@ -217,8 +270,11 @@ def lm_loop(
             + jnp.diag(1.0 - free)
         )
         b_masked = b * free
-        chol, low = jax.scipy.linalg.cho_factor(h_masked)
-        delta = jax.scipy.linalg.cho_solve((chol, low), b_masked)
+        if solver == "schur":
+            delta = schur_solve(h_masked, b_masked, k, bd)
+        else:
+            chol, low = jax.scipy.linalg.cho_factor(h_masked)
+            delta = jax.scipy.linalg.cho_solve((chol, low), b_masked)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         candidate = nvars.apply_delta(delta.reshape(k, bd), update_mask)
         if conv_fn is not None:

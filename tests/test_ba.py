@@ -171,3 +171,65 @@ def test_ba_respects_update_mask():
     np.testing.assert_allclose(
         np.array(v_final.code[1]), np.array(v0.code[1]), atol=0
     )
+
+
+def test_schur_solver_matches_dense():
+    """solver='schur' (eliminate code+scale per keyframe, with the full
+    cross-coupled Acc) must reproduce the dense solve's LM trajectory
+    (round-3 verdict #2: allclose <=1e-5 rel on existing problems)."""
+    import dataclasses
+
+    k, cs = 4, 4
+    problem, pyr = build_problem(k=k, cs=cs)
+    v0 = perturbed_vars(k, cs)
+    update_mask = jnp.ones(k).at[1].set(0.0)  # one frozen row too
+    outs = {}
+    for solver in ("dense", "schur"):
+        cfg = dataclasses.replace(MapperConfig(), solver=solver)
+        v, err, iters, _ = jax.jit(
+            lambda v_, cfg=cfg: ba.run_ba(
+                v_, problem, pyr, cfg, update_mask, max_iters=6
+            )
+        )(v0)
+        outs[solver] = (v, float(err), int(iters))
+    vd, ed, _ = outs["dense"]
+    vs, es, _ = outs["schur"]
+    np.testing.assert_allclose(ed, es, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.array(vd.pose.trans), np.array(vs.pose.trans), rtol=1e-4,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.array(vd.code), np.array(vs.code), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.array(vd.scale), np.array(vs.scale), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_compact_problem_matches_slice():
+    """compact_problem_keyframes on an identity id set must reproduce the
+    kb-sliced problem's BA result exactly; on a permuted/padded id set
+    the solve must match up to factorization-order roundoff."""
+    k, cs = 4, 4
+    problem, pyr = build_problem(k=k, cs=cs)
+    problem = ba.prepare_problem(problem, pyr)
+    cfg = MapperConfig()
+    v0 = perturbed_vars(k, cs)
+    update_mask = jnp.ones(k)
+
+    v_ref, err_ref, _, _ = ba.run_ba(
+        v0, problem, pyr, cfg, update_mask, max_iters=4
+    )
+
+    # compact with identity ids == the same problem
+    ids = jnp.arange(k, dtype=jnp.int32)
+    pad_valid = jnp.ones(k)
+    compact = ba.compact_problem_keyframes(problem, ids, pad_valid, pyr)
+    v_c, err_c, _, _ = ba.run_ba(
+        v0, compact, pyr, cfg, update_mask, max_iters=4
+    )
+    np.testing.assert_allclose(float(err_ref), float(err_c), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.array(v_ref.pose.trans), np.array(v_c.pose.trans), atol=1e-7
+    )
