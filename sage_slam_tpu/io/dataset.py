@@ -67,10 +67,21 @@ def from_url(url: str, **kwargs) -> CameraInterface:
 
         q = dict(parse_qsl(urlparse(url).query))
         for k, v in q.items():
-            # URL query overrides caller defaults
-            kwargs[k] = (
-                float(v) if ("." in v or "e" in v.lower()) else int(v)
-            )
+            # URL query overrides caller defaults; booleans (revisit=
+            # true) and numerics both parse, anything else errors with
+            # the parameter name (advisor r3)
+            if v.lower() in ("true", "false"):
+                kwargs[k] = v.lower() == "true"
+                continue
+            try:
+                kwargs[k] = (
+                    float(v) if ("." in v or "e" in v.lower()) else int(v)
+                )
+            except ValueError:
+                raise ValueError(
+                    f"bowl3d:// parameter {k}={v!r} is neither numeric "
+                    "nor true/false"
+                ) from None
         return Bowl3DInterface(**kwargs)
     raise ValueError(f"unknown dataset url scheme: {url}")
 
@@ -394,12 +405,25 @@ class SyntheticInterface(CameraInterface):
         yy, xx = np.meshgrid(
             np.arange(height * 2), np.arange(width * 2), indexing="ij"
         )
-        self.texture = np.stack(
-            [
-                0.5 + 0.5 * np.sin(0.11 * xx + 0.07 * yy + p)
-                for p in (0.0, 2.1, 4.2)
-            ]
-        ).astype(np.float32)
+        # multi-scale texture: gratings with wavelengths from ~half the
+        # image down to ~6 px so photometric alignment has localizable
+        # structure at every pyramid level (a single near-DC sinusoid is
+        # untrackable — its band-passed content is ~0 at these sizes)
+        freqs = [
+            (0.11, 0.07), (0.31, -0.19), (-0.23, 0.41),
+            (0.47, 0.23), (0.35, -0.52), (0.58, 0.13),
+        ]
+        chans = []
+        for ci, p in enumerate((0.0, 2.1, 4.2)):
+            acc = np.zeros_like(xx, np.float32)
+            for fi, (fx_, fy_) in enumerate(freqs):
+                amp = 1.0 / (1.0 + 0.35 * fi)
+                acc += amp * np.sin(
+                    fx_ * xx + fy_ * yy + p + 1.7 * fi + 0.9 * ci
+                )
+            acc /= np.abs(acc).max()
+            chans.append(0.5 + 0.5 * acc)
+        self.texture = np.stack(chans).astype(np.float32)
 
     def intrinsics(self) -> PinholeCamera:
         return self._cam
@@ -429,10 +453,10 @@ class SyntheticInterface(CameraInterface):
 
 
 class Bowl3DInterface(CameraInterface):
-    """Analytic textured 3D scene: the camera orbits inside a concave
-    paraboloid ("bowl") surface ``z = z0 + curvature * (x^2 + y^2)``
-    with exact ray-cast depth, nontrivial rotation, and an exact revisit
-    at the end of the orbit (a guaranteed loop closure).
+    """Analytic textured 3D cavity: the camera orbits INSIDE a sphere
+    ``|X - (0, 0, z0)| = radius`` with exact ray-cast depth, nontrivial
+    rotation, and an exact revisit at the end of the orbit (a
+    guaranteed loop closure).
 
     This is the repo's `bag_1` substitute (the reference demo sequence,
     system/configs/slam_run.flags:1, is not shipped): a deterministic
@@ -440,10 +464,12 @@ class Bowl3DInterface(CameraInterface):
     ATE/depth-RMSE evaluation at the reference operating point
     (round-2 verdict missing #3). Everything is closed-form:
 
-    * ray o + t*d vs the paraboloid is a quadratic in t,
+    * ray o + t*d vs the sphere is a quadratic in t with a GUARANTEED
+      unique forward root from any interior camera (any FOV, any
+      rotation — see _raycast for why the surface is a sphere),
     * depth = camera-frame z of the hit point,
-    * texture = band-limited sum of 3D sinusoids evaluated at the hit
-      point (projected wavelength >= ~8 px at the default geometry).
+    * texture = broadband sum of 3D sinusoids evaluated at the hit
+      point (see the frequency-bank note below).
     """
 
     def __init__(
@@ -453,16 +479,17 @@ class Bowl3DInterface(CameraInterface):
         width: int = 80,
         seed: int = 0,
         z0: float = 1.0,
-        curvature: float = 0.6,
+        radius: float = 1.3,
         orbit_radius: float = 0.12,
         rot_amp: float = 0.12,
         revisit: bool = True,
         mask_margin: int = 0,
+        focal: float = 0.7,
     ):
         self.n = num_frames
         self.h, self.w = height, width
         self.z0 = z0
-        self.a = curvature
+        self.radius = radius
         self.r_orbit = orbit_radius
         self.rot_amp = rot_amp
         self.revisit = revisit
@@ -470,15 +497,39 @@ class Bowl3DInterface(CameraInterface):
         # frame borders, so conv border artifacts never enter training
         # or the runtime; mask_margin reproduces that property)
         self.mask_margin = int(mask_margin)
+        # geometry defaults follow the reference's DOMAIN, not a generic
+        # plane: a camera inside a genuinely 3D cavity with a wide-ish
+        # FOV. A narrow-FOV shallow scene leaves the classic bas-relief
+        # translation/rotation valley nearly flat — no tracker can
+        # resolve per-pair motion there, and the eval would measure
+        # scene conditioning, not estimator quality. Steepness is
+        # bounded by the sphere itself: grazing incidence (which
+        # aliases the analytic texture and was measured to bias the
+        # photometric optimum 5-15% off the true poses via a pure-numpy
+        # GT-warp alpha scan on the old paraboloid) cannot occur from
+        # well inside a sphere.
         self._cam = PinholeCamera(
-            fx=width * 1.2, fy=width * 1.2, cx=width / 2 - 0.5,
+            fx=width * focal, fy=width * focal, cx=width / 2 - 0.5,
             cy=height / 2 - 0.5, width=width, height=height,
         )
         rng = np.random.default_rng(seed)
-        # texture banks: per-channel frequencies/phases (band-limited)
-        self._freqs = rng.uniform(18.0, 42.0, size=(3, 4, 3))
-        self._phases = rng.uniform(0.0, 2 * np.pi, size=(3, 4))
-        self._amps = np.array([0.22, 0.16, 0.12, 0.08])
+        # texture banks: per-channel frequencies/phases. BROADBAND on
+        # purpose: a narrow band (the original 18-42 rad/unit ~ 7-17 px
+        # projected period) makes the photometric landscape periodic —
+        # alias minima every texture period trap any tracker regardless
+        # of quality. The low-frequency octaves give the coarse pyramid
+        # levels monotone structure (wide basins), the high ones give
+        # the fine levels localization, like real broadband images.
+        self._freqs = np.concatenate(
+            [
+                rng.uniform(3.0, 9.0, size=(3, 2, 3)),
+                rng.uniform(9.0, 20.0, size=(3, 2, 3)),
+                rng.uniform(20.0, 42.0, size=(3, 2, 3)),
+            ],
+            axis=1,
+        )
+        self._phases = rng.uniform(0.0, 2 * np.pi, size=(3, 6))
+        self._amps = np.array([0.30, 0.24, 0.14, 0.11, 0.07, 0.05])
 
     def intrinsics(self) -> PinholeCamera:
         return self._cam
@@ -528,7 +579,14 @@ class Bowl3DInterface(CameraInterface):
     # -- rendering ----------------------------------------------------
 
     def _raycast(self, pose_wc: np.ndarray, h: int, w: int, cam):
-        """Returns (depth [h,w] camera-frame z, hit points [h,w,3] world)."""
+        """Returns (depth [h,w] camera-frame z, hit points [h,w,3] world).
+
+        The cavity is the INTERIOR of a sphere centered at (0, 0, z0)
+        with radius ``radius``: from any interior camera, EVERY ray has
+        exactly one forward intersection, at any field of view and any
+        rotation — unlike the round-3 paraboloid, whose corner rays
+        could miss the surface at wide FOV and silently fabricated
+        geometry when the discriminant was clamped."""
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         rc = np.stack(
             [
@@ -541,23 +599,20 @@ class Bowl3DInterface(CameraInterface):
         rot, c = pose_wc[:3, :3], pose_wc[:3, 3]
         d = rc @ rot.T  # world-frame dirs
         e = c[None, None, :]
-        a = self.a
-        qa = a * (d[..., 0] ** 2 + d[..., 1] ** 2)
-        qb = (
-            2 * a * (d[..., 0] * e[..., 0] + d[..., 1] * e[..., 1])
-            - d[..., 2]
-        )
-        qc = a * (e[..., 0] ** 2 + e[..., 1] ** 2) + self.z0 - e[..., 2]
-        disc = np.maximum(qb**2 - 4 * qa * qc, 0.0)
-        sq = np.sqrt(disc)
-        # smallest positive root; for qa ~ 0 fall back to the linear root
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t1 = (-qb - sq) / (2 * qa)
-            t2 = (-qb + sq) / (2 * qa)
-            tlin = -qc / qb
-        t12 = np.where((t1 > 1e-6) & (t1 <= t2), t1, t2)
-        t = np.where(np.abs(qa) < 1e-12, tlin, t12)
-        t = np.maximum(t, 1e-6)
+        center = np.array([0.0, 0.0, self.z0])
+        oc = e - center
+        if float(np.linalg.norm(c - center)) >= self.radius:
+            raise ValueError(
+                "Bowl3DInterface: camera left the cavity "
+                f"(|c - center| >= radius {self.radius}); reduce "
+                "orbit_radius or increase radius"
+            )
+        qa = np.sum(d * d, axis=-1)
+        qb = 2.0 * np.sum(d * oc, axis=-1)
+        qc = float(np.sum(oc[0, 0] ** 2) - self.radius**2)
+        # qc < 0 inside the sphere -> disc > 0 and a unique forward root
+        disc = qb**2 - 4 * qa * qc
+        t = (-qb + np.sqrt(disc)) / (2 * qa)
         hit = e + d * t[..., None]
         return t.astype(np.float32), hit
 

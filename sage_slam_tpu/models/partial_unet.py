@@ -126,6 +126,16 @@ def up_conv(params, enc_out, dec_out, mask, group_size=4):
     """PartialUpConv (partial_modules.py:181-217): concat order [dec, enc]."""
     out_c = params["conv1"]["weight"].shape[0]
     dec_up = upsample_nearest2(dec_out)
+    # odd encoder dims: pooling floors (e.g. 4x5 -> 2x2), so the 2x
+    # upsample can undershoot by one row/col — edge-pad to the encoder's
+    # size (standard U-Net odd-dimension handling; the reference always
+    # runs at 128x160 where every level is even)
+    eh, ew = enc_out.shape[1:]
+    dh, dw = dec_up.shape[1:]
+    if (dh, dw) != (eh, ew):
+        dec_up = jnp.pad(
+            dec_up, ((0, 0), (0, eh - dh), (0, ew - dw)), mode="edge"
+        )
     x = jnp.concatenate([dec_up, enc_out], axis=0)
     x, mask = partial_conv(params["conv1"], x, mask)
     x = jax.nn.relu(group_norm(params["bn"], x, max(1, out_c // group_size)))

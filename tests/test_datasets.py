@@ -98,7 +98,7 @@ def test_scannet_reader(tmp_path):
 
 def test_bowl3d_depth_matches_raycast_geometry():
     """The emitted depth must satisfy the surface equation at the
-    unprojected hit point: z_w == z0 + a*(x_w^2 + y_w^2)."""
+    unprojected hit point: |X_w - (0, 0, z0)| == radius."""
     from sage_slam_tpu.io.dataset import Bowl3DInterface
 
     data = Bowl3DInterface(num_frames=5, height=32, width=40, seed=0)
@@ -112,11 +112,8 @@ def test_bowl3d_depth_matches_raycast_geometry():
         yc = (ys - cam.cy) / cam.fy * depth
         pts_c = np.stack([xc, yc, depth], -1).reshape(-1, 3)
         pts_w = pts_c @ pose[:3, :3].T + pose[:3, 3]
-        resid = (
-            data.z0
-            + data.a * (pts_w[:, 0] ** 2 + pts_w[:, 1] ** 2)
-            - pts_w[:, 2]
-        )
+        center = np.array([0.0, 0.0, data.z0])
+        resid = np.linalg.norm(pts_w - center, axis=-1) - data.radius
         assert np.abs(resid).max() < 1e-4, np.abs(resid).max()
 
 
