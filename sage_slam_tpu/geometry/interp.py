@@ -219,6 +219,27 @@ def combine_quad_cm(rowv: jax.Array, weights, c: int, cw: int | None = None):
     )
 
 
+def quad_bilinear_select_cm(rowv: jax.Array, weights, col: int, cw: int):
+    """Bilinear value from already-gathered quad columns -> [N]: the
+    CONTINUOUS counterpart of :func:`quad_nearest_select_cm` for the
+    folded validity-mask channel (row ``col`` of each corner block).
+
+    A nearest-select mask gate is binary: one sample crossing the mask
+    border flips its gate and jumps the mean-normalized factor error by
+    ~err/n — with many samples straddling the border, LM wedges on
+    these cliffs (it rejects every step whose alignment gain is smaller
+    than the gate-flip jumps). The bilinear mask ramps 0->1 over one
+    pixel, making the gated cost piecewise-smooth (the soft_inlier_gate
+    config option)."""
+    w00, w10, w01, w11 = weights
+    return (
+        rowv[0 * cw + col] * w00
+        + rowv[1 * cw + col] * w10
+        + rowv[2 * cw + col] * w01
+        + rowv[3 * cw + col] * w11
+    )
+
+
 def quad_nearest_select_cm(
     rowv: jax.Array,  # [4*cw, N]
     x: jax.Array,

@@ -95,8 +95,11 @@ def _kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (pad, 1), 0)
     kgx = gxx[None] * kx + gxy[None] * ky
     kgx = jnp.where(row == dim, hx[None], kgx)  # col dim <- Atb part
-    kgx = jnp.where(row == dim + 1, (gate * esum)[None], kgx)  # err
-    kgx = jnp.where(row == dim + 2, gate[None], kgx)  # n_inl
+    # residual r = gate * d, so err/count weight is gate^2 (== gate for
+    # a binary mask; diverges only under soft_inlier_gate) — mirrors
+    # photo_reduce_xla exactly
+    kgx = jnp.where(row == dim + 1, (gate2 * esum)[None], kgx)  # err
+    kgx = jnp.where(row == dim + 2, gate2[None], kgx)  # n_inl
     kgy = gxy[None] * kx + gyy[None] * ky
     kgy = jnp.where(row == dim, hy[None], kgy)
     kgy = jnp.where(row >= dim + 1, jnp.zeros_like(kgy), kgy)

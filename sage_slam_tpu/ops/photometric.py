@@ -283,6 +283,7 @@ def _target_samples_cm(
     dense: tuple,
     c_out: int,
     mega: jax.Array | None = None,
+    soft: bool = False,
 ):
     """Sample the target frame at the warped full-res coords for every
     pyramid level, channel-major -> (list of [c_out, N] per level,
@@ -317,9 +318,14 @@ def _target_samples_cm(
                 mega, ul, vl, cam0.width, cam0.height, frame * r
             )
             out.append(interp.combine_quad_cm(rowv, wts, c_out, c_out + 1))
-            within = interp.quad_nearest_select_cm(
-                rowv, ul, vl, cam0.width, cam0.height, c_out, c_out + 1
-            )
+            if soft:
+                within = interp.quad_bilinear_select_cm(
+                    rowv, wts, c_out, c_out + 1
+                )
+            else:
+                within = interp.quad_nearest_select_cm(
+                    rowv, ul, vl, cam0.width, cam0.height, c_out, c_out + 1
+                )
             mega_ctx = rowv
             continue
         if mega is not None and lvl == 1:
@@ -344,13 +350,21 @@ def _target_samples_cm(
         )
         out.append(interp.combine_quad_cm(rowv, wts, c_out, cw))
         if lvl == 0 and has_mask:
-            within = interp.quad_nearest_select_cm(
-                rowv, ul, vl, cam_l.width, cam_l.height, c_out, cw
-            )
+            if soft:
+                within = interp.quad_bilinear_select_cm(rowv, wts, c_out, cw)
+            else:
+                within = interp.quad_nearest_select_cm(
+                    rowv, ul, vl, cam_l.width, cam_l.height, c_out, cw
+                )
     if within is None:
-        within = interp.nearest_flat(
-            mask_flat, u1, v1, cam0.width, cam0.height
-        )
+        if soft:
+            within = interp.bilinear_flat(
+                mask_flat[None], u1, v1, cam0.width, cam0.height
+            )[0]
+        else:
+            within = interp.nearest_flat(
+                mask_flat, u1, v1, cam0.width, cam0.height
+            )
     return out, within
 
 
@@ -421,9 +435,15 @@ def photometric_error(
     cam_pyr: CameraPyramid,
     weights,
     eps: float,
+    soft: bool = False,
 ):
     """Error-only path (photometric_error_calculate :990-1059).
-    Returns (error scalar, n_inliers scalar)."""
+    Returns (error scalar, n_inliers scalar).
+
+    ``soft`` selects the bilinear mask gate (config soft_inlier_gate;
+    interp.quad_bilinear_select_cm). The residual is r = gate * d, so
+    the error/count use gate^2 — identical to the reference's binary
+    formulas when the gate is binary."""
     cam0 = cam_pyr[0]
     depth0, _, _, _, _, pos, u1, v1 = _warp_project_cm(
         p0, p1, code0, scale0, kf0, shared, cam0, eps
@@ -432,17 +452,18 @@ def photometric_error(
     _, packed_feat, _, dense_feat, _, mega_feat = _tables(shared, cam_pyr)
     f1s, within = _target_samples_cm(
         shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_feat,
-        dense_feat, c, mega_feat,
+        dense_feat, c, mega_feat, soft=soft,
     )
     gate = pos * within
+    g2 = gate * gate  # == gate when binary
 
     err_total = jnp.zeros((), within.dtype)
     for lvl in range(cam_pyr.levels):
         f0 = kf0.src_feats[lvl].T  # [C, N]
         f1 = f1s[lvl]  # [C, N]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        err_pt = g2 * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
-    n_inl = jnp.sum(gate)
+    n_inl = jnp.sum(g2)
 
     w_sum = jnp.sum(jnp.asarray(weights))
     error = jnp.where(
@@ -462,6 +483,7 @@ def photometric_jac_error(
     cam_pyr: CameraPyramid,
     weights,
     eps: float,
+    soft: bool = False,
 ):
     """Linearization path (photometric_jac_error_calculate :1061-1164).
     Returns (AtA [13+CS, 13+CS], Atb [13+CS], error scalar, n_inliers).
@@ -481,7 +503,7 @@ def photometric_jac_error(
     with gxx/gxy/gyy the level-weight-scaled Gram entries — two
     [29, N] x [N, 29] MXU matmuls per edge."""
     fgs, f0_cm, gate, kx, ky = photo_prep(
-        p0, p1, code0, scale0, kf0, fr1, shared, cam_pyr, eps
+        p0, p1, code0, scale0, kf0, fr1, shared, cam_pyr, eps, soft=soft
     )
     ratios = level_ratios(cam_pyr)
     ata, atb, err_total, n_inl = photo_reduce_xla(
@@ -519,6 +541,7 @@ def photo_prep(
     shared: PhotoShared,
     cam_pyr: CameraPyramid,
     eps: float,
+    soft: bool = False,
 ):
     """Warp + sample + K-row construction for one photometric edge.
 
@@ -536,7 +559,7 @@ def photo_prep(
     packed_fg, _, dense_fg, _, mega_fg, _ = _tables(shared, cam_pyr)
     fgs, within = _target_samples_cm(
         shared.mask_flat, cam_pyr, u1, v1, fr1.base_pyr, packed_fg,
-        dense_fg, 3 * c, mega_fg,
+        dense_fg, 3 * c, mega_fg, soft=soft,
     )
     gate = pos * within  # [N]
 
@@ -622,8 +645,8 @@ def photo_reduce_xla(
         gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
         hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
         hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
-        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
-    n_inl = jnp.sum(gate)
+        err_total = err_total + wl * jnp.sum(gate2 * jnp.sum(d * d, axis=0))
+    n_inl = jnp.sum(gate2)
     gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
     hx, hy = gate2 * hx, gate2 * hy
 

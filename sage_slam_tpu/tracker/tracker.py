@@ -115,6 +115,7 @@ def tracker_photo_jac_error(
     weights,
     eps: float,
     scale0=None,  # scalar -> 7-DoF variant
+    soft: bool = False,
 ):
     """Tracker photometric term (tracker_photo_jac_error_calculate,
     photometric_factor_kernels.cpp:524-873, host :1166-1325).
@@ -140,7 +141,7 @@ def tracker_photo_jac_error(
     packed_fg, _, dense_fg, _, mega_fg, _ = target._tables(cam_pyr)
     fgs, within = _target_samples_cm(
         target.mask_flat, cam_pyr, u, v, 0, packed_fg, dense_fg, 3 * c,
-        mega_fg,
+        mega_fg, soft=soft,
     )
     gate = pos * within
     gate2 = gate * gate
@@ -163,8 +164,8 @@ def tracker_photo_jac_error(
         gyy = gyy + (wl * ry * ry) * jnp.sum(gy * gy, axis=0)
         hx = hx + (wl * rx) * jnp.sum(gx * d, axis=0)
         hy = hy + (wl * ry) * jnp.sum(gy * d, axis=0)
-        err_total = err_total + wl * jnp.sum(gate * jnp.sum(d * d, axis=0))
-    n_inl = jnp.sum(gate)
+        err_total = err_total + wl * jnp.sum(gate2 * jnp.sum(d * d, axis=0))
+    n_inl = jnp.sum(gate2)
     gxx, gxy, gyy = gate2 * gxx, gate2 * gxy, gate2 * gyy
     hx, hy = gate2 * hx, gate2 * hy
 
@@ -221,7 +222,8 @@ def tracker_photo_jac_error(
 
 
 def tracker_photo_error(
-    rot10, t10, ref: TrackerRef, target: TrackerTarget, cam_pyr, weights, eps
+    rot10, t10, ref: TrackerRef, target: TrackerTarget, cam_pyr, weights,
+    eps, soft: bool = False,
 ):
     """Error-only photometric evaluation for the LM inner loop."""
     from ..ops.photometric import _target_samples_cm
@@ -238,16 +240,17 @@ def tracker_photo_error(
     _, packed_feat, _, dense_feat, _, mega_feat = target._tables(cam_pyr)
     f1s, within = _target_samples_cm(
         target.mask_flat, cam_pyr, u, v, 0, packed_feat, dense_feat, c,
-        mega_feat,
+        mega_feat, soft=soft,
     )
     gate = pos * within
+    g2 = gate * gate  # == gate when binary
     err_total = jnp.zeros((), dtype)
     for lvl in range(cam_pyr.levels):
         f0 = ref.cat_photo_feats0[lvl].T  # [C, N]
         f1 = f1s[lvl]  # [C, N]
-        err_pt = gate * jnp.sum((f0 - f1) ** 2, axis=0)
+        err_pt = g2 * jnp.sum((f0 - f1) ** 2, axis=0)
         err_total = err_total + weights[lvl] * jnp.sum(err_pt)
-    n_inl = jnp.sum(gate)
+    n_inl = jnp.sum(g2)
     w_sum = jnp.sum(jnp.asarray(weights, dtype))
     return jnp.where(
         n_inl > 0, err_total / jnp.maximum(n_inl, 1.0), w_sum * 10.0
@@ -319,6 +322,45 @@ def lm_track(
     eps = cfg.dpt_eps
     weights = cfg.photo_factor_weights
 
+    if getattr(cfg, "coarse_to_fine", False) and use_photo and len(
+        weights
+    ) >= 3:
+        # two-phase schedule: first align on the two COARSEST pyramid
+        # levels only (their basin spans several fine-level pixels),
+        # then refine with every level. Summing all levels at once (the
+        # reference's formulation, camera_tracker.cpp:1156-1279) relies
+        # on features trained to be near-quadratic; with generic or
+        # handcrafted features the fine-level gradients dominate the
+        # normal equations and the first GN step can jump across the
+        # fine levels' basin into a far local minimum
+        # (eval/error_budget.py isolates the effect).
+        coarse = tuple(
+            0.0 if lvl < len(weights) - 2 else weights[lvl]
+            for lvl in range(len(weights))
+        )
+        import dataclasses as _dc
+
+        cfg_coarse = _dc.replace(
+            cfg, coarse_to_fine=False, photo_factor_weights=coarse
+        )
+        cfg_fine = _dc.replace(cfg, coarse_to_fine=False)
+        half = max(iters_budget // 2, 1)
+        r1 = lm_track(
+            init_rot, init_trans, ref, target, cam_pyr, cfg_coarse,
+            terms=terms, use_photo=use_photo, with_scale=with_scale,
+            init_scale=init_scale, max_iters=half,
+        )
+        r2 = lm_track(
+            r1.rot, r1.trans, ref, target, cam_pyr, cfg_fine,
+            terms=terms, use_photo=use_photo, with_scale=with_scale,
+            init_scale=r1.scale if with_scale else init_scale,
+            max_iters=iters_budget - half,
+        )
+        return LMResult(
+            r2.rot, r2.trans, r2.scale, r2.error,
+            r1.iterations + r2.iterations,
+        )
+
     def jac_error(rot, trans, scale):
         ata = jnp.zeros((dim, dim), dtype)
         atb = jnp.zeros((dim,), dtype)
@@ -327,6 +369,7 @@ def lm_track(
             a, b, e, _ = tracker_photo_jac_error(
                 rot, trans, ref, target, cam_pyr, weights, eps,
                 scale0=scale if with_scale else None,
+                soft=getattr(cfg, "soft_inlier_gate", False),
             )
             ata, atb, err = ata + a, atb + b, err + e
         if terms.reproj_dpts0 is not None:
@@ -351,7 +394,8 @@ def lm_track(
         err = jnp.zeros((), dtype)
         if use_photo:
             e, _ = tracker_photo_error(
-                rot, trans, ref, target, cam_pyr, weights, eps
+                rot, trans, ref, target, cam_pyr, weights, eps,
+                soft=getattr(cfg, "soft_inlier_gate", False),
             )
             err = err + e
         if terms.reproj_dpts0 is not None:
