@@ -1,0 +1,116 @@
+"""Frontend latency benchmark (round-3 verdict #3).
+
+Measures steady-state ms/frame of the frontend hot loop
+(SlamSystem.process_frame — the DeepFactors::ProcessFrame analog,
+deepfactors.cpp:1574 / camera_tracker.cpp:1156-1279) at the reference
+operating point (64x80 output, CS=FS=16, 3072 samples, 4 levels,
+tracker LM <=40 iters), split into build_frame / matching / tracker-LM /
+metrics+sync phases, plus the keyframe-creation overhead measured
+separately.
+
+Prints one JSON line per metric:
+  {"metric": "frontend_ms_per_frame", "value": ..., "unit": "ms", ...}
+
+Run on the TPU:  python bench_frontend.py
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sage_slam_tpu.config import LoopConfig, SlamConfig
+    from sage_slam_tpu.eval import error_budget
+    from sage_slam_tpu.io.dataset import Bowl3DInterface
+
+    # video-density orbit at the reference operating point
+    data = Bowl3DInterface(
+        num_frames=64, height=128, width=160, seed=0,
+        orbit_radius=0.22, rot_amp=0.25, mask_margin=6,
+    )
+    cfg = SlamConfig(
+        max_keyframes=64, loop=LoopConfig(global_active_window=6)
+    )
+    system = error_budget.build_system(cfg, data, "net", "handcrafted")
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+
+    # phase instrumentation: wrap the jitted sub-steps with timers
+    import sage_slam_tpu.frontend.slam as slam_mod
+
+    phase = {"build": 0.0, "track": 0.0, "rest": 0.0}
+    counts = {"build": 0}
+
+    orig_build = system.mapper.build_frame
+
+    def timed_build(ts, img, pose=None):
+        t0 = time.time()
+        out = orig_build(ts, img, pose)
+        jax.block_until_ready(out.feat_pyr)
+        phase["build"] += time.time() - t0
+        counts["build"] += 1
+        return out
+
+    system.mapper.build_frame = timed_build
+
+    imgs = [jnp.asarray(rec.image) for rec in frames[1:]]
+    jax.block_until_ready(imgs)
+
+    # warmup: first frames compile every shape in the path
+    n_warm = 6
+    for i, img in enumerate(imgs[:n_warm], start=1):
+        system.process_frame(frames[i].timestamp, img)
+
+    phase["build"] = 0.0
+    counts["build"] = 0
+    t0 = time.time()
+    n_meas = 0
+    kf_created = 0
+    t_kf = 0.0
+    for i, img in enumerate(imgs[n_warm:], start=1 + n_warm):
+        t1 = time.time()
+        res = system.process_frame(frames[i].timestamp, img)
+        dt = time.time() - t1
+        if res.new_keyframe:
+            kf_created += 1
+            t_kf += dt
+        else:
+            n_meas += 1
+    total = time.time() - t0
+
+    per_frame = (total - t_kf) / max(n_meas, 1) * 1000
+    build_ms = phase["build"] / max(counts["build"], 1) * 1000
+    baseline_ms = 240.0  # round-2/3 measured frontend ms/frame
+    print(json.dumps({
+        "metric": "frontend_ms_per_frame",
+        "value": round(per_frame, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / per_frame, 2),
+    }))
+    print(json.dumps({
+        "metric": "frontend_build_frame_ms",
+        "value": round(build_ms, 1),
+        "unit": "ms",
+    }))
+    if kf_created:
+        print(json.dumps({
+            "metric": "frontend_keyframe_overhead_ms",
+            "value": round(t_kf / kf_created * 1000 - per_frame, 1),
+            "unit": "ms",
+            "keyframes": kf_created,
+        }))
+    print(json.dumps({
+        "metric": "frontend_fps",
+        "value": round(1000.0 / per_frame, 2),
+        "unit": "frames/s",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,9 +69,10 @@ def main(argv=None):
 
         lg = logging.getLogger("sage_slam")
         lg.setLevel(logging.DEBUG)
-        h = logging.StreamHandler()
-        h.setFormatter(logging.Formatter("%(name)s: %(message)s"))
-        lg.addHandler(h)
+        if not lg.handlers:  # repeated main() calls must not duplicate
+            h = logging.StreamHandler()
+            h.setFormatter(logging.Formatter("%(name)s: %(message)s"))
+            lg.addHandler(h)
 
     cfg = (
         SlamConfig.from_json(args.config) if args.config else SlamConfig()

@@ -47,9 +47,15 @@ def test_bow_database_query():
         db.add(jnp.asarray(s))
     # query with a copy of set 2 => top hit is entry 2 with score ~1
     q = vocabulary.transform(voc, jnp.asarray(sets[2]))
-    scores, ids = db.query(q, 3)
+    scores, ids, ref_max = db.query(q, 3, conn_ids=[1])
     assert ids[0] == 2
     assert scores[0] > 0.999
+    # the batched temporal-neighbor baseline equals the direct score
+    direct = float(vocabulary.score_l1(q, db.vectors[1]))
+    assert abs(ref_max - max(direct, 0.0)) < 1e-6
+    # ids beyond count score the -1e30 sentinel and sort last
+    scores6, ids6, _ = db.query(q, 6)
+    assert (scores6[4:] < -1e29).all()
 
 
 def _chain_poses(k, step_tau):
