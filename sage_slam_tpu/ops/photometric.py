@@ -419,6 +419,9 @@ def _warp_project_cm(
     rh = jnp.matmul(rot10, homo_cm, precision=hp)  # [3, N]
     x1 = depth0[None] * rh + t10[:, None]  # [3, N]
     pos = (x1[2] > eps).astype(depth0.dtype)
+    # gated-out points must not divide by ~0 z (0-gate times inf = NaN;
+    # residuals.safe_points rationale)
+    x1 = x1.at[2].set(jnp.where(x1[2] > eps, x1[2], 1.0))
     u1 = x1[0] / x1[2] * cam0.fx + cam0.cx
     v1 = x1[1] / x1[2] * cam0.fy + cam0.cy
     return depth0, jac_cm, homo_cm, rh, x1, pos, u1, v1

@@ -54,8 +54,12 @@ def reprojection_jac_error(
     d0 = decode_depth_at(bias0_flat, jac0_flat, matches.loc1d_0, code0, scale0)
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
     w = residuals.warp(matches.homo_0, d0, rot10, t10, eps)
+    # gated points must not divide by their (possibly ~0) z: the
+    # reference's CUDA thread SKIPS them outright; 1/z -> inf times the
+    # 0 gate is NaN and poisons the whole AtA (safe_points semantics)
+    pts = residuals.safe_points(w.points_in_1, w.pos_depth)
     u, v = residuals.project_full_res(
-        w.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+        pts, cam.fx, cam.fy, cam.cx, cam.cy
     )
     proj = jnp.stack([u, v], axis=-1)  # [M, 2]
     diff = matches.matched_2d_1 - proj
@@ -63,12 +67,12 @@ def reprojection_jac_error(
     sw = fair_sqrt_weight(diff, loss_param) * pos[:, None]
     err_pt = fair_error(diff, loss_param) * pos
 
-    jp = residuals.proj_jac_point(w.points_in_1, cam.fx, cam.fy)  # [M,2,3]
+    jp = residuals.proj_jac_point(pts, cam.fx, cam.fy)  # [M,2,3]
     xw = residuals.points_world(matches.homo_0, d0, p0)
     jac_x_p0 = residuals.point_jac_pose0(xw, p1.rot)
     j2d_p0 = jnp.einsum("mij,mjk->mik", jp, jac_x_p0)  # [M, 2, 6]
     j2d_dpt = residuals.proj_jac_depth(
-        w.rotated_homo, w.points_in_1, cam.fx, cam.fy
+        w.rotated_homo, pts, cam.fx, cam.fy
     )  # [M, 2]
     jc = jnp.take(jac0_flat, matches.loc1d_0, axis=0)  # [M, CS]
     j2d_code = j2d_dpt[..., None] * (scale0 * jc)[:, None, :]  # [M, 2, CS]
@@ -106,8 +110,9 @@ def reprojection_error(
     d0 = decode_depth_at(bias0_flat, jac0_flat, matches.loc1d_0, code0, scale0)
     rot10, t10 = residuals.relative_pose_tensors(p0, p1)
     w = residuals.warp(matches.homo_0, d0, rot10, t10, eps)
+    pts = residuals.safe_points(w.points_in_1, w.pos_depth)
     u, v = residuals.project_full_res(
-        w.points_in_1, cam.fx, cam.fy, cam.cx, cam.cy
+        pts, cam.fx, cam.fy, cam.cx, cam.cy
     )
     diff = matches.matched_2d_1 - jnp.stack([u, v], axis=-1)
     pos = w.pos_depth.astype(diff.dtype) * matches.valid
@@ -143,6 +148,7 @@ def tracker_reproj_jac_error(
     rh = homo_0 @ rot10.T
     x1 = depth0[:, None] * rh + t10
     pos_depth = (x1[:, 2] > eps).astype(homo_0.dtype)
+    x1 = residuals.safe_points(x1, x1[:, 2] > eps)
     u = x1[:, 0] / x1[:, 2] * cam.fx + cam.cx
     v = x1[:, 1] / x1[:, 2] * cam.fy + cam.cy
     diff = matched_2d_1 - jnp.stack([u, v], axis=-1)

@@ -58,6 +58,16 @@ def warp(
     return WarpResult(rh, x1, x1[..., 2] > eps)
 
 
+def safe_points(points: jax.Array, pos: jax.Array) -> jax.Array:
+    """Replace the z of depth-gated-OUT points ([..., 2] <= eps) with 1
+    so downstream 1/z never produces inf: gated contributions are
+    multiplied by a 0 gate, and 0 * inf = NaN would otherwise poison the
+    whole reduction (the reference's CUDA threads skip gated points
+    before any division, kernels :78-97)."""
+    z = jnp.where(pos, points[..., 2], jnp.ones_like(points[..., 2]))
+    return points.at[..., 2].set(z)
+
+
 def project_full_res(points: jax.Array, fx, fy, cx, cy):
     """Pinhole projection at full resolution, NO depth clamp
     (kernels :142-144 use raw z)."""

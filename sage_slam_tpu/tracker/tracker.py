@@ -134,6 +134,7 @@ def tracker_photo_jac_error(
     rh = jnp.matmul(rot10, ref.photo_homo0.T, precision=hp)  # [3, N]
     x1 = ref.photo_dpts0[None] * rh + t10[:, None]  # [3, N]
     pos = (x1[2] > eps).astype(dtype)
+    x1 = x1.at[2].set(jnp.where(x1[2] > eps, x1[2], 1.0))
     u = x1[0] / x1[2] * cam0.fx + cam0.cx
     v = x1[1] / x1[2] * cam0.fy + cam0.cy
 
@@ -234,6 +235,7 @@ def tracker_photo_error(
     rh = jnp.matmul(rot10, ref.photo_homo0.T, precision=hp)  # [3, N]
     x1 = ref.photo_dpts0[None] * rh + t10[:, None]
     pos = (x1[2] > eps).astype(dtype)
+    x1 = x1.at[2].set(jnp.where(x1[2] > eps, x1[2], 1.0))
     u = x1[0] / x1[2] * cam0.fx + cam0.cx
     v = x1[1] / x1[2] * cam0.fy + cam0.cy
     c = target.feat_pyr.shape[0]

@@ -233,3 +233,50 @@ def test_priors():
 
 
 
+
+
+def test_reprojection_gated_negative_depth_stays_finite():
+    """A match warped to z <= eps is gated out; its 1/z must not poison
+    the reduction with 0 * inf = NaN (round-4 fix: residuals.safe_points
+    — the reference's CUDA threads skip gated points before dividing)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sage_slam_tpu.geometry.camera import PinholeCamera
+    from sage_slam_tpu.geometry.se3 import SE3
+    from sage_slam_tpu.ops import reprojection as rp
+
+    cam = PinholeCamera(fx=20.0, fy=20.0, cx=9.5, cy=7.5, width=20, height=16)
+    m = 4
+    cs = 3
+    hw = cam.width * cam.height
+    bias = np.full(hw, 1.0, np.float32)
+    jac = np.zeros((hw, cs), np.float32)
+    loc = jnp.asarray([5, 6, 7, 8], jnp.int32)
+    homo = jnp.asarray(
+        [[0.0, 0.0, 1.0]] * m, jnp.float32
+    )
+    matches = rp.ReprojMatchSet(
+        loc1d_0=loc,
+        homo_0=homo,
+        matched_2d_1=jnp.zeros((m, 2)),
+        valid=jnp.ones(m),
+    )
+    # pose1 two units AHEAD of pose0 along +z: warped z = 1 - 2 < 0 for
+    # every match -> all gated; the zero-inlier penalty path must return
+    # finite zeros, not NaN
+    p0 = SE3.identity()
+    p1 = SE3(jnp.eye(3), jnp.asarray([0.0, 0.0, 2.0]))
+    ata, atb, err, n = rp.reprojection_jac_error(
+        p0, p1, jnp.zeros(cs), jnp.asarray(1.0), jnp.asarray(bias),
+        jnp.asarray(jac), matches, cam, 1.0, 10.0, 1e-6,
+    )
+    assert float(n) == 0.0
+    assert np.all(np.isfinite(np.array(ata)))
+    assert np.all(np.isfinite(np.array(atb)))
+    assert np.isfinite(float(err))
+    e, n2 = rp.reprojection_error(
+        p0, p1, jnp.zeros(cs), jnp.asarray(1.0), jnp.asarray(bias),
+        jnp.asarray(jac), matches, cam, 1.0, 10.0, 1e-6,
+    )
+    assert np.isfinite(float(e)) and float(n2) == 0.0
