@@ -143,6 +143,18 @@ class LoopConfig:
     pose_scale_graph_no_relin_max_iters: int = 5
     pose_linearize_threshold: float = 3.0e-3
     scale_linearize_threshold: float = 1.0e-2
+    # bidirectional cycle-consistency gate on 7-DoF loop verification:
+    # also track ref-against-query and require the composed relative
+    # pose to be near identity. A single bad loop edge at pose-graph
+    # weight 5 visibly bends the whole trajectory (measured: one 17deg-
+    # wrong verified edge moved keyframe Sim3-ATE from 8% to 12% of
+    # span on the analytic orbit); the reference has no such gate, but
+    # it also never feeds a pose-scale graph from single-pair
+    # photometric verification at wide baselines without human review
+    verify_cycle: bool = True
+    cycle_max_rot_deg: float = 3.0
+    cycle_max_trans_ratio: float = 0.5
+    cycle_trans_floor: float = 0.02
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,11 @@ class LoopInfo:
     query_scale: float = 1.0
     ref_scale: float = 1.0
     desc_inlier_ratio: float = 0.0
+    # verification quality in (0, 1]: 1 - the worst normalized cycle
+    # residual of the bidirectional 7-DoF check (1.0 when the cycle
+    # gate is disabled). Scales the loop edge's pose-graph weight so a
+    # marginal verification cannot outvote clean odometry.
+    quality: float = 1.0
 
 
 @dataclasses.dataclass
@@ -633,7 +638,9 @@ class SlamSystem:
                     kf_id, cid, ratio, lcfg.min_desc_inlier_ratio,
                 )
                 continue
-            verified = self._verify_loop_7dof(cid, fr_like, mg)
+            verified = self._verify_loop_7dof(
+                cid, fr_like, mg, query_id=kf_id
+            )
             if verified is not None:
                 verified.desc_inlier_ratio = ratio
                 loops.append(verified)
@@ -728,7 +735,9 @@ class SlamSystem:
             average_motion=float(host["average_motion"]),
         )
 
-    def _verify_loop_7dof(self, ref_id, fr_like, mg) -> Optional[LoopInfo]:
+    def _verify_loop_7dof(
+        self, ref_id, fr_like, mg, query_id: Optional[int] = None
+    ) -> Optional[LoopInfo]:
         """7-DoF tracking against the candidate (loop_detector.cpp:154-200)."""
         lcfg = self.cfg.loop
         m = self._track_7dof(ref_id, fr_like, mg)
@@ -746,6 +755,54 @@ class SlamSystem:
                 lcfg.min_area_ratio, lcfg.min_inlier_ratio,
             )
             return None
+        if lcfg.verify_cycle and query_id is not None:
+            # bidirectional check: ref tracked against the query must
+            # compose with the forward track to ~identity; one bad loop
+            # edge bends the whole pose-scale graph (LoopConfig note)
+            ref_like = self._store_frame_view(ref_id)
+            mg_rev = self._match_geo(query_id, ref_like)
+            m_rev = self._track_7dof(query_id, ref_like, mg_rev)
+            if m_rev is None:
+                log.debug("verify_7dof ref=%d REJECT reverse <3", ref_id)
+                return None
+            rr = m_rev["res"]
+            cyc_rot = np.array(res.rot) @ np.array(rr.rot)
+            ang = np.degrees(
+                np.arccos(np.clip((np.trace(cyc_rot) - 1) / 2, -1, 1))
+            )
+            cyc_t = np.array(res.rot) @ np.array(rr.trans) + np.array(
+                res.trans
+            )
+            t_mag = 0.5 * (
+                float(np.linalg.norm(res.trans))
+                + float(np.linalg.norm(rr.trans))
+            )
+            t_thresh = max(
+                lcfg.cycle_trans_floor,
+                lcfg.cycle_max_trans_ratio * t_mag,
+            )
+            cyc_t_norm = float(np.linalg.norm(cyc_t))
+            if ang > lcfg.cycle_max_rot_deg or cyc_t_norm > t_thresh:
+                log.debug(
+                    "verify_7dof ref=%d REJECT cycle rot %.2fdeg "
+                    "trans %.4f (gates %.1f/%.4f)",
+                    ref_id, float(ang), cyc_t_norm,
+                    lcfg.cycle_max_rot_deg, t_thresh,
+                )
+                return None
+            quality = float(
+                np.clip(
+                    1.0
+                    - max(
+                        float(ang) / lcfg.cycle_max_rot_deg,
+                        cyc_t_norm / t_thresh,
+                    ),
+                    0.25,
+                    1.0,
+                )
+            )
+        else:
+            quality = 1.0
 
         # pose_cur_ref with scale-adjusted translation
         # (loop_detector.cpp:188-196)
@@ -766,6 +823,7 @@ class SlamSystem:
             pose_cur_ref=pose_cur_ref,
             query_scale=fr_scale,
             ref_scale=ref_scale,
+            quality=quality,
         )
 
     def close_global_loops(self, kf_id: int, loops: List[LoopInfo]):
@@ -840,12 +898,15 @@ class SlamSystem:
                 tgt_s0 = ref_scale0
                 tgt_s1 = tgt_s0 * lp.query_scale / lp.ref_scale
                 # loop edge ref->query: the factor's relpose10 =
-                # T_q^-1 T_ref equals pose_cur_ref (cur-from-ref)
+                # T_q^-1 T_ref equals pose_cur_ref (cur-from-ref);
+                # weight scaled by the verification quality so a
+                # marginal loop cannot outvote clean odometry edges
+                wq = lcfg.pose_graph_global_link_weight * lp.quality
                 add_edge(lp.id_ref, kf_id, lp.pose_cur_ref, tgt_s0,
-                         tgt_s1, lcfg.pose_graph_global_link_weight)
+                         tgt_s1, wq)
                 add_edge(kf_id, lp.id_ref,
                          se3m.inverse(lp.pose_cur_ref), tgt_s1, tgt_s0,
-                         lcfg.pose_graph_global_link_weight)
+                         wq)
                 in_graph.update((lp.id_ref, kf_id))
                 if idx == 0:
                     scale_valid[lp.id_ref] = 1.0
