@@ -98,10 +98,14 @@ class MapperConfig:
     soft_inlier_gate: bool = True
     # normal-equation solver inside the LM loop: "dense" (one masked
     # Cholesky of the (bd*K)^2 system), "schur" (eliminate each
-    # keyframe's code+scale dims first — solver/graph.schur_solve,
-    # SURVEY.md §7.1), or "auto" (schur above schur_min_keyframes,
-    # where the smaller factorizations win; dense below it)
-    solver: str = "auto"
+    # keyframe's code+scale dims — solver/graph.schur_solve, SURVEY.md
+    # §7.1; exact with the full cross-coupled Acc), or "auto" (schur
+    # above schur_min_keyframes). Default dense: measured
+    # (docs/SCALING_r04.md §2), the dense-Acc elimination costs MORE
+    # FLOPs than one Cholesky precisely because geometric edges couple
+    # codes across keyframes, and the compact windowed step already
+    # bounds K to the incident set where the dense solve is trivial.
+    solver: str = "dense"
     schur_min_keyframes: int = 48
     # photometric J^T W J reduce backend: "xla" (fused dot_generals) or
     # "pallas" (ops/pallas_kernels.photo_reduce_pallas, one fused Mosaic

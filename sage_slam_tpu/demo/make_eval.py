@@ -32,11 +32,14 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out_dir", default="eval_artifacts")
-    p.add_argument("--epochs", type=int, default=24)
-    p.add_argument("--train_triplets", type=int, default=16)
-    p.add_argument("--train_frames", type=int, default=32)
-    p.add_argument("--eval_frames", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--train_triplets", type=int, default=48)
+    p.add_argument("--train_frames", type=int, default=64)
+    p.add_argument("--eval_frames", type=int, default=64)
     p.add_argument("--max_keyframes", type=int, default=32)
+    # train-to-plateau (round-3 verdict weak #5) under a wall budget
+    p.add_argument("--train_budget_s", type=float, default=6000.0)
+    p.add_argument("--plateau_patience", type=int, default=6)
     args = p.parse_args(argv)
 
     import jax
@@ -81,15 +84,22 @@ def main(argv=None):
     depth_cfg = depth_network.DepthNetConfig(basis_inner=((128, 128, 16),))
     feat_cfg = feature_network.FeatureNetConfig()
     disc_cfg = discriminator.DiscConfig(img_height=h_out, img_width=w_out)
+    # two-phase curriculum INCLUDING the joint diff-BA phase (round-3
+    # ran separate-only): warp-consistent features are what the joint
+    # phase trains, and they are the accuracy lever (the error-budget
+    # oracle rows measure a ~4-7% ATE floor from generic features'
+    # filter-warp commutator alone)
     tcfg = train.TrainConfig(
         pyramid_levels=4, ba_iters=2, num_photo_samples=128,
-        separate_train_epoch=10_000, eval_fraction=0.2, cycle_steps=200,
+        separate_train_epoch=6, eval_fraction=0.2, cycle_steps=200,
     )
     t0 = time.time()
     state, history = train.train(
         triplets, triplets[0].camera, depth_cfg, feat_cfg, disc_cfg, tcfg,
         num_epochs=args.epochs, seed=0,
         log_path=os.path.join(args.out_dir, "train_scalars.jsonl"),
+        plateau_patience=args.plateau_patience,
+        time_budget_s=args.train_budget_s,
     )
     report["training"] = {
         "epochs": args.epochs,
@@ -269,7 +279,7 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # 6. EVAL.md
     tr = report["training"]
-    md = f"""# EVAL — full-resolution end-to-end artifact (round 3)
+    md = f"""# EVAL — full-resolution end-to-end artifact (round 4)
 
 One deterministic chain at the reference operating point
 (in 128x160 / out 64x80, CS=FS=16, 3072 photometric samples, 4 pyramid
