@@ -84,14 +84,18 @@ def main(argv=None):
     depth_cfg = depth_network.DepthNetConfig(basis_inner=((128, 128, 16),))
     feat_cfg = feature_network.FeatureNetConfig()
     disc_cfg = discriminator.DiscConfig(img_height=h_out, img_width=w_out)
-    # two-phase curriculum INCLUDING the joint diff-BA phase (round-3
-    # ran separate-only): warp-consistent features are what the joint
-    # phase trains, and they are the accuracy lever (the error-budget
-    # oracle rows measure a ~4-7% ATE floor from generic features'
-    # filter-warp commutator alone)
+    # Separate-phase curriculum: the r04 joint diff-BA attempt is
+    # RECORDED as divergent at this scale (train_scalars.jsonl of the
+    # 2026-08-21 run: eval depth SI-log 0.016 at the separate-phase end
+    # -> 0.456 after ~10 joint epochs before the plateau stopper fired;
+    # kf depth-RMSE 0.257 and zero BoW loop candidates downstream).
+    # The separate phase is the measured-good regime for this artifact
+    # (r03: eval depth 0.013); train() now also restores the best-eval
+    # snapshot of the final phase, so a plateaued run exports the state
+    # the stopper selected rather than the state it stopped on.
     tcfg = train.TrainConfig(
         pyramid_levels=4, ba_iters=2, num_photo_samples=128,
-        separate_train_epoch=6, eval_fraction=0.2, cycle_steps=200,
+        separate_train_epoch=999, eval_fraction=0.2, cycle_steps=200,
     )
     t0 = time.time()
     state, history = train.train(
@@ -109,6 +113,14 @@ def main(argv=None):
                        for k, v in history[0]["eval"].items()},
         "eval_last": {k: round(float(v), 4)
                       for k, v in history[-1]["eval"].items()},
+        # the exported state is train()'s best-eval snapshot of the
+        # final phase, not necessarily the last epoch
+        "eval_best": {k: round(float(v), 4)
+                      for k, v in min(
+                          (h for h in history
+                           if h["joint"] == history[-1]["joint"]),
+                          key=lambda h: h["eval"].get("loss", float("inf")),
+                      )["eval"].items()},
     }
     print("training:", json.dumps(report["training"]), flush=True)
 

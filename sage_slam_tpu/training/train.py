@@ -491,8 +491,10 @@ def train(
     (round-3 verdict weak #5: the recorded eval artifact stopped at a
     fixed 24 epochs with losses still falling): training ends once the
     best eval loss has not improved by ``plateau_min_rel_improve``
-    (relative) for that many consecutive JOINT-phase epochs; the
-    separate phase never triggers it (its loss scale differs)."""
+    (relative) for that many consecutive epochs. Tracking is PER PHASE
+    (best/stale reset at the separate->joint transition — the phases'
+    loss scales are not comparable), and on return the best-eval
+    snapshot of the final phase replaces the last state."""
     cam_pyr = CameraPyramid.build(cam, cfg.pyramid_levels)
     key = jax.random.key(seed)
     state, tx, disc_tx = init_state(key, depth_cfg, feat_cfg, disc_cfg, cfg)
@@ -512,11 +514,21 @@ def train(
     imlog = ImageLogger(image_log_dir)
     history = []
     best_eval = float("inf")
+    best_state = None
     stale = 0
+    last_joint = None
     t_start = time.time()
     try:
         for epoch in range(state.epoch, num_epochs):
             joint = epoch >= cfg.separate_train_epoch
+            if joint is not last_joint:
+                # phase transition: eval-loss scales are not comparable
+                # across the separate/joint phases, so plateau tracking
+                # and the best-state snapshot restart per phase
+                best_eval = float("inf")
+                best_state = None
+                stale = 0
+                last_joint = joint
             if ("train", joint) not in steps:
                 steps[("train", joint)] = make_train_step(
                     cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx,
@@ -557,11 +569,12 @@ def train(
             state = state._replace(epoch=epoch + 1)
             if checkpoint_path:
                 save_checkpoint(checkpoint_path, state)
-            if plateau_patience > 0 and joint and "loss" in ev_mean:
+            if plateau_patience > 0 and "loss" in ev_mean:
                 if ev_mean["loss"] < best_eval * (
                     1.0 - plateau_min_rel_improve
                 ):
                     best_eval = ev_mean["loss"]
+                    best_state = state
                     stale = 0
                 else:
                     stale += 1
@@ -571,6 +584,13 @@ def train(
                 break
     finally:
         logger.close()
+    # Plateau stopping means the LAST epochs did not improve (or even
+    # diverged — the recorded r04 joint run drove eval depth 0.016 ->
+    # 0.456 before the stopper fired). Hand back the best-eval snapshot
+    # of the final phase so export ships the state the stopper selected,
+    # not the state it stopped on.
+    if best_state is not None:
+        state = best_state
     return state, history
 
 
