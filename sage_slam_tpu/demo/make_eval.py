@@ -63,21 +63,32 @@ def main(argv=None):
 
     # ------------------------------------------------------------------
     # 1. train full-size nets on the bowl scene
+    # Two training orbits BRACKET the held-out eval orbit's pose range
+    # (radius 0.22 / rot 0.25): the prior-only depth probe
+    # (docs/ERROR_BUDGET_r04.md) measured 0.29-0.40 RMSE on held-out
+    # views when trained on the single tighter orbit — a pose-coverage
+    # generalization gap, not a capacity one.
     h_out, w_out = 64, 80
     train_bowl = dict(num_frames=args.train_frames, height=128, width=160,
                       seed=0, orbit_radius=0.16, rot_amp=0.15,
                       mask_margin=6)
-    bowl = Bowl3DInterface(**train_bowl)
-    arrays = bowl.to_arrays()
+    train_bowl_wide = dict(train_bowl, orbit_radius=0.28, rot_amp=0.3)
     cfg_t = tds.TripletConfig(
         num_keypoints=128, frame_interval=3, far_frame_interval=10,
         use_rotation_aug=False,
     )
-    src = tds.ArraySequenceDataset(
-        arrays, cfg=cfg_t, out_hw=(h_out, w_out), in_hw=(128, 160), seed=0
-    )
     t0 = time.time()
-    triplets = [src.sample() for _ in range(args.train_triplets)]
+    triplets = []
+    for si, tb in enumerate((train_bowl, train_bowl_wide)):
+        src = tds.ArraySequenceDataset(
+            Bowl3DInterface(**tb).to_arrays(), cfg=cfg_t,
+            out_hw=(h_out, w_out), in_hw=(128, 160), seed=si,
+        )
+        triplets += [src.sample() for _ in range(args.train_triplets // 2)]
+    # interleave the two orbits so the eval tail split holds both
+    triplets = [t for pair in zip(triplets[: len(triplets) // 2],
+                                  triplets[len(triplets) // 2 :])
+                for t in pair]
     print(f"built {len(triplets)} triplets in {time.time()-t0:.1f}s",
           flush=True)
 
