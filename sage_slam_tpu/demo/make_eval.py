@@ -116,6 +116,13 @@ def main(argv=None):
         plateau_patience=args.plateau_patience,
         time_budget_s=args.train_budget_s,
     )
+    # the exported state is train()'s best-eval SNAPSHOT of the final
+    # phase (history entries are marked "snapshotted" when taken), not
+    # necessarily the last epoch and not the raw history min — train()
+    # only snapshots on a >plateau_min_rel_improve improvement
+    snap = [h for h in history if h.get("snapshotted")
+            and h["joint"] == history[-1]["joint"]]
+    best_h = snap[-1] if snap else history[-1]
     report["training"] = {
         "epochs": args.epochs,
         "steps": int(state.step),
@@ -124,14 +131,9 @@ def main(argv=None):
                        for k, v in history[0]["eval"].items()},
         "eval_last": {k: round(float(v), 4)
                       for k, v in history[-1]["eval"].items()},
-        # the exported state is train()'s best-eval snapshot of the
-        # final phase, not necessarily the last epoch
         "eval_best": {k: round(float(v), 4)
-                      for k, v in min(
-                          (h for h in history
-                           if h["joint"] == history[-1]["joint"]),
-                          key=lambda h: h["eval"].get("loss", float("inf")),
-                      )["eval"].items()},
+                      for k, v in best_h["eval"].items()},
+        "best_epoch": best_h["epoch"],
     }
     print("training:", json.dumps(report["training"]), flush=True)
 
@@ -320,16 +322,23 @@ Full-size partial-conv U-Nets trained on {args.train_triplets} triplets
 from a {args.train_frames}-frame orbit ({tr['steps']} SGD steps,
 {tr['wall_s']}s):
 
-| eval loss | first epoch | last epoch |
-|---|---|---|
-| depth (SI-log) | {tr['eval_first']['depth']} | {tr['eval_last']['depth']} |
-| rr (descriptor) | {tr['eval_first']['rr']} | {tr['eval_last']['rr']} |
-| total | {tr['eval_first']['loss']} | {tr['eval_last']['loss']} |
+| eval loss | first epoch | exported epoch ({tr['best_epoch']}) | last epoch |
+|---|---|---|---|
+| depth (SI-log) | {tr['eval_first']['depth']} | {tr['eval_best']['depth']} | {tr['eval_last']['depth']} |
+| rr (descriptor) | {tr['eval_first']['rr']} | {tr['eval_best']['rr']} | {tr['eval_last']['rr']} |
+| total | {tr['eval_first']['loss']} | {tr['eval_best']['loss']} | {tr['eval_last']['loss']} |
+
+The exported state is the best-eval snapshot (epoch {tr['best_epoch']});
+"last epoch" is where the plateau stopper fired.
 
 ## 2. SLAM run (threaded demo CLI, trained nets + trained vocabulary)
 
-Held-out orbit ({args.eval_frames} frames, larger radius + rotation,
-exact revisit at the end): `{url_eval}`
+Held-out orbit ({args.eval_frames} frames, exact revisit at the end):
+`{url_eval}`. Pose-coverage design: the eval orbit (radius 0.22 /
+rot 0.25) is BRACKETED by the two training orbits (0.16/0.15 and
+0.28/0.30) — its exact poses are never trained on, but its pose range
+is deliberately inside the training envelope (this measures
+interpolation, not extrapolation, generalization).
 
 ```json
 {json.dumps(report['slam'], indent=2)}

@@ -159,8 +159,16 @@ def main(argv=None):
     dt = time.time() - t0
     n = len(results) + 1
 
+    # trajectory.txt carries the FINALIZED frame poses (re-expressed
+    # from the final BA'd keyframes — deepfactors.cpp:1591/:2005 role);
+    # the raw as-tracked poses are kept alongside for drift diagnostics
     tum_io.write_tum(
-        os.path.join(args.run_log_dir, "trajectory.txt"), system.trajectory
+        os.path.join(args.run_log_dir, "trajectory.txt"),
+        system.finalized_trajectory(),
+    )
+    tum_io.write_tum(
+        os.path.join(args.run_log_dir, "trajectory_tracked.txt"),
+        system.trajectory,
     )
     tum_io.write_tum(
         os.path.join(args.run_log_dir, "keyframe_trajectory.txt"),

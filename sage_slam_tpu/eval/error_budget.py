@@ -154,7 +154,15 @@ def run_stage(
         system.refine_mapping(refine_iters)
     wall = time.time() - t0
 
-    est = np.stack([np.array(p.trans) for _, p in system.trajectory])
+    # frame ATE uses the FINALIZED trajectory (frames re-expressed from
+    # the BA'd keyframes, frontend/slam.py finalized_trajectory); the
+    # as-tracked ATE is kept as a secondary diagnostic of frontend drift
+    est = np.stack(
+        [np.array(p.trans) for _, p in system.finalized_trajectory()]
+    )
+    est_tracked = np.stack(
+        [np.array(p.trans) for _, p in system.trajectory]
+    )
     gt = np.stack([data.pose_at(i)[:3, 3] for i in range(len(frames))])
     span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
     out = dict(
@@ -166,8 +174,14 @@ def run_stage(
         span=round(span, 5),
         ate_sim3=round(float(ate.ate_rmse(est, gt, align="sim3")), 5),
         ate_se3=round(float(ate.ate_rmse(est, gt, align="se3")), 5),
+        ate_sim3_tracked=round(
+            float(ate.ate_rmse(est_tracked, gt, align="sim3")), 5
+        ),
     )
     out["ate_sim3_pct"] = round(100 * out["ate_sim3"] / span, 2)
+    out["ate_sim3_tracked_pct"] = round(
+        100 * out["ate_sim3_tracked"] / span, 2
+    )
 
     kf_traj = system.keyframe_trajectory()
     if len(kf_traj) >= 3:

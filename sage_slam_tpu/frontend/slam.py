@@ -117,6 +117,14 @@ class SlamSystem:
         self.curr_kf: int = -1
         self.pose_ck: SE3 = SE3.identity()  # camera-from-keyframe
         self.trajectory: List[tuple] = []  # (ts, SE3 world-from-camera)
+        # per-frame (ts, ref_kf, pose_ck, ref_scale_at_track): enough to
+        # RE-EXPRESS every frame pose from the final BA'd keyframe poses
+        # at save time (finalized_trajectory). The reference keeps frame
+        # poses live as pose_wk * pose_kc so they always reflect the
+        # latest keyframe estimate (deepfactors.cpp:1591, :2005); the
+        # as-tracked snapshot in self.trajectory cannot benefit from BA,
+        # loops or refinement that happen after the frame passed.
+        self.frame_refs: List[tuple] = []
         self.global_loops: dict = {}  # (id0,id1) -> (scale0, scale1)
         self.force_keyframe = False
         self._visited: List[int] = []
@@ -158,6 +166,10 @@ class SlamSystem:
                     jnp.take(desc, self.mapper.valid_loc1d, axis=0)
                 )
         self.trajectory.append((timestamp, self.store.pose(kf_id)))
+        self.frame_refs.append(
+            (timestamp, kf_id, SE3.identity(),
+             self.store.variables.scale[kf_id])
+        )
         return kf_id
 
     # ------------------------------------------------------------------
@@ -354,9 +366,21 @@ class SlamSystem:
         new_kf = (not lost) and self._new_keyframe_required(
             area_ratio, inlier_ratio, avg_motion, desc_ratio
         )
+        track_ref = (self.curr_kf, self.pose_ck)
         kf_created = -1
         if new_kf:
             kf_created = self._create_keyframe(fr)
+        if kf_created >= 0:
+            # the frame IS a keyframe: finalized pose = its own BA'd pose
+            self.frame_refs.append(
+                (timestamp, kf_created, SE3.identity(),
+                 self.store.variables.scale[kf_created])
+            )
+        else:
+            self.frame_refs.append(
+                (timestamp, track_ref[0], track_ref[1],
+                 self.store.variables.scale[track_ref[0]])
+            )
 
         if self.pose_callback is not None:
             self.pose_callback(timestamp, frame_pose)
@@ -1080,4 +1104,27 @@ class SlamSystem:
         out = []
         for i in range(self.store.num_active):
             out.append((self.store.timestamps[i], self.store.pose(i)))
+        return out
+
+    def finalized_trajectory(self):
+        """(timestamp, SE3) per frame, RE-EXPRESSED from the final BA'd
+        keyframe poses: pose = pose_wk(final) ∘ pose_kc(track), with the
+        relative translation rescaled by the keyframe's scale change
+        since track time (loop closures rescale keyframe depth, so
+        metric distances in the keyframe's local frame scale with it).
+        The live analog of the reference's pose_wk * pose_kc frame poses
+        (deepfactors.cpp:1591, :2005) applied at save time: the saved
+        full trajectory inherits BA + loop-closure + refinement accuracy
+        instead of freezing each frame at its track-time estimate."""
+        import numpy as np
+
+        out = []
+        for ts, ref, pose_ck, s_track in self.frame_refs:
+            pose_wk = self.store.pose(ref)
+            q = float(self.store.variables.scale[ref]) / max(
+                float(s_track), 1e-12
+            )
+            pose_kc = se3m.inverse(pose_ck)
+            pose_kc = SE3(pose_kc.rot, pose_kc.trans * q)
+            out.append((ts, se3m.compose(pose_wk, pose_kc)))
         return out

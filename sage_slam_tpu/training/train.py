@@ -515,11 +515,13 @@ def train(
     history = []
     best_eval = float("inf")
     best_state = None
+    best_epoch = -1
     stale = 0
     last_joint = None
     t_start = time.time()
     try:
-        for epoch in range(state.epoch, num_epochs):
+        epoch = state.epoch
+        while epoch < num_epochs:
             joint = epoch >= cfg.separate_train_epoch
             if joint is not last_joint:
                 # phase transition: eval-loss scales are not comparable
@@ -575,22 +577,39 @@ def train(
                 ):
                     best_eval = ev_mean["loss"]
                     best_state = state
+                    best_epoch = epoch
+                    history[-1]["snapshotted"] = True
                     stale = 0
                 else:
                     stale += 1
                     if stale >= plateau_patience:
+                        if not joint and cfg.separate_train_epoch < num_epochs:
+                            # separate-phase plateau with a real two-phase
+                            # curriculum ahead: ENTER the joint phase from
+                            # the phase's best snapshot instead of ending
+                            # training (round-4 advisor finding — breaking
+                            # here skipped the joint phase entirely)
+                            if best_state is not None:
+                                state = best_state
+                            epoch = cfg.separate_train_epoch
+                            state = state._replace(epoch=epoch)
+                            continue
                         break
             if time_budget_s > 0 and time.time() - t_start > time_budget_s:
                 break
+            epoch += 1
     finally:
         logger.close()
     # Plateau stopping means the LAST epochs did not improve (or even
     # diverged — the recorded r04 joint run drove eval depth 0.016 ->
     # 0.456 before the stopper fired). Hand back the best-eval snapshot
     # of the final phase so export ships the state the stopper selected,
-    # not the state it stopped on.
+    # not the state it stopped on — and PERSIST it, so checkpoint_path
+    # consumers / resume get the same weights (round-4 advisor finding).
     if best_state is not None:
         state = best_state
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state)
     return state, history
 
 

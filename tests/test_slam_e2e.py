@@ -175,3 +175,67 @@ def test_tum_roundtrip(tmp_path):
         assert ts == ts2
         np.testing.assert_allclose(np.array(pose.trans), t2, atol=1e-6)
         np.testing.assert_allclose(np.array(pose.rot), r2, atol=1e-5)
+
+
+def test_finalized_trajectory_follows_keyframe_updates():
+    """finalized_trajectory re-expresses every frame from the CURRENT
+    keyframe estimates (deepfactors.cpp:1591/:2005 role): after a
+    keyframe pose/scale changes (BA, loop closure), frames tracked
+    against it move rigidly+scaled with it, while the as-tracked
+    self.trajectory snapshot stays frozen."""
+    from sage_slam_tpu.geometry import se3 as se3m
+    from sage_slam_tpu.geometry.se3 import SE3, se3_exp
+
+    system, data = tiny_system(num_frames=8)
+    frames = list(data.frames())
+    system.bootstrap(frames[0].timestamp, jnp.asarray(frames[0].image))
+    for rec in frames[1:]:
+        system.process_frame(rec.timestamp, jnp.asarray(rec.image))
+
+    assert len(system.frame_refs) == len(system.trajectory)
+    fin0 = system.finalized_trajectory()
+    assert len(fin0) == len(system.trajectory)
+    # before any store change the two agree (scale ratio is 1)
+    for (_, a), (_, b) in zip(fin0, system.trajectory):
+        np.testing.assert_allclose(
+            np.array(a.trans), np.array(b.trans), atol=1e-5
+        )
+
+    # mutate one keyframe pose + scale as a loop closure would
+    ref_of = {i: r for _, r, _, _ in [
+        (ts, ref, p, s) for ts, ref, p, s in system.frame_refs
+    ] for i in [r]}
+    kf = max(ref_of)  # a keyframe some frames actually reference
+    delta = se3_exp(jnp.asarray([0.05, -0.02, 0.01, 0.1, -0.05, 0.2],
+                                jnp.float32))
+    v = system.store.variables
+    new_pose = se3m.compose(delta, system.store.pose(kf))
+    q = 1.3
+    system.store.variables = v._replace(
+        pose=SE3(
+            v.pose.rot.at[kf].set(new_pose.rot),
+            v.pose.trans.at[kf].set(new_pose.trans),
+        ),
+        scale=v.scale.at[kf].set(v.scale[kf] * q),
+    )
+    fin1 = system.finalized_trajectory()
+    moved = 0
+    for (ts, ref, pose_ck, s_track), (_, a), (_, b) in zip(
+        system.frame_refs, fin1, fin0
+    ):
+        if ref != kf:
+            np.testing.assert_allclose(
+                np.array(a.trans), np.array(b.trans), atol=1e-5
+            )
+            continue
+        moved += 1
+        # expected: new_pose ∘ (inv(pose_ck) with trans scaled by q)
+        kc = se3m.inverse(pose_ck)
+        want = se3m.compose(new_pose, SE3(kc.rot, kc.trans * q))
+        np.testing.assert_allclose(
+            np.array(a.trans), np.array(want.trans), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.array(a.rot), np.array(want.rot), atol=1e-5
+        )
+    assert moved > 0
