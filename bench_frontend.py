@@ -19,7 +19,7 @@ import sys
 import time
 
 
-def main():
+def main(num_frames: int = 64):
     sys.path.insert(0, ".")
     import jax
     import jax.numpy as jnp
@@ -29,13 +29,17 @@ def main():
     from sage_slam_tpu.eval import error_budget
     from sage_slam_tpu.io.dataset import Bowl3DInterface
 
-    # video-density orbit at the reference operating point
+    # video-density orbit at the reference operating point; pass a frame
+    # count >= 300 for the sustained-rate recording (multiple orbits so
+    # keyframe creation continues at a realistic cadence all run)
     data = Bowl3DInterface(
-        num_frames=64, height=128, width=160, seed=0,
+        num_frames=num_frames, height=128, width=160, seed=0,
         orbit_radius=0.22, rot_amp=0.25, mask_margin=6,
+        orbits=max(1.0, num_frames / 64.0),
     )
     cfg = SlamConfig(
-        max_keyframes=64, loop=LoopConfig(global_active_window=6)
+        max_keyframes=max(64, num_frames // 4),
+        loop=LoopConfig(global_active_window=6),
     )
     system = error_budget.build_system(cfg, data, "net", "handcrafted")
     frames = list(data.frames())
@@ -110,7 +114,16 @@ def main():
         "value": round(1000.0 / per_frame, 2),
         "unit": "frames/s",
     }))
+    # whole-run rate INCLUDING keyframe frames (the sustained-rate
+    # number the r04 verdict asked for: >=300 frames, post-compile)
+    print(json.dumps({
+        "metric": "frontend_whole_run_fps",
+        "value": round((n_meas + kf_created) / total, 2),
+        "unit": "frames/s",
+        "frames": n_meas + kf_created,
+        "keyframes": kf_created,
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)

@@ -233,6 +233,9 @@ def main(argv=None):
     p.add_argument("--orbit_radius", type=float, default=0.22)
     p.add_argument("--rot_amp", type=float, default=0.25)
     p.add_argument("--mask_margin", type=int, default=6)
+    p.add_argument("--orbits", type=float, default=1.0,
+                   help=">1 = multi-revisit trajectory (loop-wins eval)")
+    p.add_argument("--geo_weight", type=float, default=None)
     p.add_argument("--stages", default=None,
                    help="comma-separated labels from the default matrix")
     p.add_argument("--depth_checkpoint", default=None)
@@ -249,7 +252,7 @@ def main(argv=None):
     data = Bowl3DInterface(
         num_frames=args.num_frames, height=args.height, width=args.width,
         seed=0, orbit_radius=args.orbit_radius, rot_amp=args.rot_amp,
-        mask_margin=args.mask_margin,
+        mask_margin=args.mask_margin, orbits=args.orbits,
     )
     cfg = SlamConfig(
         net_input_size=(args.height, args.width),
@@ -257,6 +260,15 @@ def main(argv=None):
         max_keyframes=args.max_keyframes,
         loop=LoopConfig(global_active_window=6),
     )
+    if args.geo_weight is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            mapper=dataclasses.replace(
+                cfg.mapper, geo_factor_weight=args.geo_weight
+            ),
+        )
 
     depth_params = feat_params = None
     depth_cfg = feat_cfg = None

@@ -485,6 +485,7 @@ class Bowl3DInterface(CameraInterface):
         revisit: bool = True,
         mask_margin: int = 0,
         focal: float = 0.7,
+        orbits: float = 1.0,
     ):
         self.n = num_frames
         self.h, self.w = height, width
@@ -493,6 +494,13 @@ class Bowl3DInterface(CameraInterface):
         self.r_orbit = orbit_radius
         self.rot_amp = rot_amp
         self.revisit = revisit
+        # number of full orbits over the sequence (orbits > 1 gives a
+        # MULTI-REVISIT trajectory: the camera passes the start region
+        # at every integer multiple of 2*pi, each pass a loop-closure
+        # opportunity AFTER drift has accumulated — the eval the
+        # reference's pose-scale loop graph is built for,
+        # deepfactors.cpp:81-386)
+        self.orbits = float(orbits)
         # video-mask border (the reference's endoscopy mask zeroes the
         # frame borders, so conv border artifacts never enter training
         # or the runtime; mask_margin reproduces that property)
@@ -555,7 +563,7 @@ class Bowl3DInterface(CameraInterface):
         pitch rotation; the final frame returns to the first view when
         ``revisit`` (theta wraps to 2*pi)."""
         denom = max(self.n - 1, 1)
-        theta = 2 * np.pi * i / denom if self.revisit else (
+        theta = 2 * np.pi * self.orbits * i / denom if self.revisit else (
             1.5 * i / denom
         )
         c = np.array(

@@ -353,6 +353,45 @@ def _update(state: BAState, sol: jax.Array) -> BAState:
     )
 
 
+@jax.custom_vjp
+def _bwd_clip(x, max_norm):
+    """Identity forward; clips the COTANGENT's norm on the backward pass.
+
+    Inserted between unrolled LM iterations it bounds the geometric
+    growth of gradients through the scan (the recorded r04 flagship
+    joint-phase divergence is the failure mode this prevents) — the
+    unroll analog of truncated-BPTT clipping. max_norm <= 0 disables."""
+    return x
+
+
+def _bwd_clip_fwd(x, max_norm):
+    return x, max_norm
+
+
+def _bwd_clip_bwd(max_norm, g):
+    norm = jnp.sqrt(jnp.sum(g * g))
+    factor = jnp.where(
+        max_norm > 0,
+        jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12)),
+        1.0,
+    )
+    return g * factor, None
+
+
+_bwd_clip.defvjp(_bwd_clip_fwd, _bwd_clip_bwd)
+
+
+def _clip_state_grad(state: "BAState", max_norm: float) -> "BAState":
+    """Jointly clip the backward cotangent of the whole BA state."""
+    flat = jnp.concatenate(
+        [state.tau10, jnp.reshape(state.scale0, (1,)), state.code0]
+    )
+    flat = _bwd_clip(flat, max_norm)
+    return BAState(
+        tau10=flat[:6], scale0=flat[6], code0=flat[7:]
+    )
+
+
 def ba_optimize(
     params: BAParams,
     inp: BAInputs,
@@ -372,6 +411,7 @@ def ba_optimize(
     use_match_geom: bool = True,
     use_geom: bool = True,
     use_reproj: bool = False,
+    bwd_clip: float = 0.0,
 ):
     """The reference LM schedule (diff_ba.py:596-828) as a fixed-length,
     reverse-differentiable ``lax.scan``:
@@ -403,6 +443,8 @@ def ba_optimize(
 
     def step(carry, _):
         state, damp, done = carry
+        if bwd_clip > 0:
+            state = _clip_state_grad(state, bwd_clip)
         ata, atb, err0 = linearize(state)
         sol, cond = solve(ata, atb, damp)
 

@@ -45,6 +45,17 @@ class TrainConfig:
     ba_iters: int = 4
     ba_use_reproj: bool = False  # reproj_term exists but is off in the
     # reference's ba_iteration (diff_ba.py:1063 defined, never called)
+    # ---- joint-phase stabilizers (the r04 flagship joint run DIVERGED,
+    # eval depth 0.016 -> 0.456; docs/ERROR_BUDGET_r04.md) ----
+    # LR multiplier while in the joint phase (the loss surface through
+    # the unrolled LM is much stiffer than the separate-phase one)
+    joint_lr_factor: float = 0.25
+    # ramp the BA-derived losses (flow + BA-depth supervision) in over
+    # this many joint epochs; the net-bias depth anchor ramps out
+    ba_warmup_epochs: int = 4
+    # per-iteration backward cotangent clip through the LM unroll
+    # (diff_ba._bwd_clip); 0 disables
+    ba_bwd_clip: float = 1.0
     response_sigma_init: float = 30.0
     pyramid_levels: int = 3
     num_photo_samples: int = 128
@@ -138,7 +149,7 @@ def _prep_frame(params, image, mask_out, cam_pyr, depth_cfg, feat_cfg,
 def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, joint: bool):
     """Builds the jitted (loss, aux) function over one triplet."""
 
-    def loss_fn(gen_params, disc_params, batch, key):
+    def loss_fn(gen_params, disc_params, batch, key, warm=1.0):
         cam = cam_pyr[0]
         mask = batch["mask"]
         k0, k1 = jax.random.split(key)
@@ -291,6 +302,7 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 max_iters=cfg.ba_iters,
                 use_match_geom=True, use_geom=True,
                 use_reproj=cfg.ba_use_reproj,
+                bwd_clip=cfg.ba_bwd_clip,
             )
             pred_depth, pred_flow = diff_ba.ba_outputs(
                 final, f_src["bias_flat"], f_src["jac_flat"], cam
@@ -300,19 +312,33 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
                 gt_flow[None], pred_flow[None],
                 (mask * batch["flow_mask"])[None, None],
             )
-            total = total + cfg.flow_weight * l_flow
+            # ``warm`` ramps the BA-derived losses in over the first
+            # joint epochs (TrainConfig.ba_warmup_epochs): the flow loss
+            # fades in, and the depth supervision cross-fades from the
+            # raw net bias (the separate-phase anchor) to the BA output
+            total = total + cfg.flow_weight * warm * l_flow
             aux["flow"] = l_flow
+            l_depth_src = warm * losses.scale_invariant_depth_loss(
+                batch["depth_src"][None], pred_depth[None], mask[None]
+            ) + (1.0 - warm) * losses.scale_invariant_depth_loss(
+                batch["depth_src"][None],
+                f_src["bias_flat"].reshape(h, w)[None],
+                mask[None],
+            )
         else:
             pred_depth = f_src["bias_flat"].reshape(h, w)
+            l_depth_src = losses.scale_invariant_depth_loss(
+                batch["depth_src"][None], pred_depth[None], mask[None]
+            )
 
         # depth supervision: 0.75 src + 0.25 close network bias
         # (training.py:600-607)
-        l_depth = 0.75 * losses.scale_invariant_depth_loss(
-            batch["depth_src"][None], pred_depth[None], mask[None]
-        ) + 0.25 * losses.scale_invariant_depth_loss(
-            batch["depth_close"][None],
-            f_close["bias_flat"].reshape(h, w)[None],
-            mask[None],
+        l_depth = 0.75 * l_depth_src + 0.25 * (
+            losses.scale_invariant_depth_loss(
+                batch["depth_close"][None],
+                f_close["bias_flat"].reshape(h, w)[None],
+                mask[None],
+            )
         )
         basis = f_src["jac_flat"].T.reshape(1, cs, h, w)
         l_decor = losses.basis_decorrelation_loss(basis, mask[None, None])
@@ -341,10 +367,10 @@ def make_train_step(cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx, disc_tx, jo
     loss_fn = make_loss_fn(cam_pyr, depth_cfg, feat_cfg, cfg, joint)
 
     @jax.jit
-    def step(state: TrainState, batch, key):
+    def step(state: TrainState, batch, key, warm=1.0):
         gen_params = {k: v for k, v in state.params.items() if k != "disc"}
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            gen_params, state.params["disc"], batch, key
+            gen_params, state.params["disc"], batch, key, warm
         )
         updates, opt_state = tx.update(grads, state.opt_state, gen_params)
         gen_params = optax.apply_updates(gen_params, updates)
@@ -532,16 +558,38 @@ def train(
                 stale = 0
                 last_joint = joint
             if ("train", joint) not in steps:
+                # joint phase runs at a reduced LR (joint_lr_factor):
+                # the loss surface through the unrolled LM is stiffer
+                phase_tx = tx
+                if joint and cfg.joint_lr_factor != 1.0:
+                    sched = cyclic_lr(cfg)
+                    phase_tx = optax.chain(
+                        optax.clip_by_global_norm(cfg.grad_clip),
+                        optax.sgd(
+                            lambda s: sched(s) * cfg.joint_lr_factor,
+                            momentum=0.9,
+                        ),
+                    )
                 steps[("train", joint)] = make_train_step(
-                    cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, tx,
+                    cam_pyr, depth_cfg, feat_cfg, disc_cfg, cfg, phase_tx,
                     disc_tx, joint,
                 )
                 steps[("eval", joint)] = make_eval_step(
                     cam_pyr, depth_cfg, feat_cfg, cfg, joint
                 )
+            warm = 1.0
+            if joint and cfg.ba_warmup_epochs > 0:
+                warm = min(
+                    1.0,
+                    (epoch - cfg.separate_train_epoch + 1)
+                    / cfg.ba_warmup_epochs,
+                )
+            warm_j = jnp.asarray(warm, jnp.float32)
             for i, batch in enumerate(batches_train):
                 key, sub = jax.random.split(key)
-                state, loss, aux = steps[("train", joint)](state, batch, sub)
+                state, loss, aux = steps[("train", joint)](
+                    state, batch, sub, warm_j
+                )
                 logger.log(
                     int(state.step), "train",
                     dict(loss=loss, **aux),

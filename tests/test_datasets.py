@@ -209,3 +209,29 @@ def test_netcfg_sidecar_roundtrip(tmp_path):
     assert d2 == dcfg  # tuple-for-tuple equality (hashable)
     assert f2 == fcfg
     hash(d2)  # must be usable as a jit cache key
+
+
+def test_bowl3d_multi_orbit_revisits():
+    """orbits>1 produces a multi-revisit trajectory: the camera returns
+    to (near) the start pose at every full orbit — the loop-closure
+    opportunities the pose-scale graph eval needs."""
+    from sage_slam_tpu.io.dataset import Bowl3DInterface
+
+    n = 91
+    data = Bowl3DInterface(num_frames=n, height=16, width=20, seed=0,
+                           orbits=3.0, orbit_radius=0.2, rot_amp=0.2)
+    p0 = data.pose_at(0)
+    # frames at 1/3 and 2/3 of the sequence complete full orbits
+    for i in (30, 60, 90):
+        pi = data.pose_at(i)
+        assert np.linalg.norm(pi[:3, 3] - p0[:3, 3]) < 1e-6
+        assert np.linalg.norm(pi[:3, :3] - p0[:3, :3]) < 1e-6
+    # mid-orbit frames are far from the start
+    assert np.linalg.norm(data.pose_at(15)[:3, 3] - p0[:3, 3]) > 0.1
+    # URL factory accepts the parameter
+    from sage_slam_tpu.io.dataset import from_url
+
+    d2 = from_url("bowl3d://?num_frames=31&height=16&width=20&orbits=2.0")
+    assert np.linalg.norm(
+        d2.pose_at(15)[:3, 3] - d2.pose_at(0)[:3, 3]
+    ) < 1e-6

@@ -131,7 +131,9 @@ def test_hdf5_cli_end_to_end(tmp_path):
         video_mask_in=jnp.asarray(mask_full),
     )
     SlamDriver(system, use_native_threads=False).run(npz_data)
-    traj_npz = system.trajectory
+    # trajectory.txt now carries the FINALIZED frame poses (frames
+    # re-expressed from the BA'd keyframes) — compare like-for-like
+    traj_npz = system.finalized_trajectory()
     assert len(traj_npz) == len(traj_h5)
     for (ts_h, t_h, r_h), (ts_n, pose_n) in zip(traj_h5, traj_npz):
         assert abs(ts_h - ts_n) < 1e-9

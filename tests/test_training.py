@@ -396,3 +396,68 @@ def test_export_networks_roundtrip(tmp_path):
             np.array(getattr(ba2, name)),
             np.array(getattr(state.params["ba"], name)),
         )
+
+
+def test_bwd_clip_identity_forward_bounded_backward():
+    """diff_ba._bwd_clip: identity forward; cotangent norm clipped on
+    the backward pass (the joint-phase LM-unroll stabilizer)."""
+    x = jnp.asarray([3.0, 4.0])
+
+    # forward identity
+    np.testing.assert_allclose(
+        np.array(diff_ba._bwd_clip(x, 1.0)), np.array(x)
+    )
+
+    # backward: d/dx sum(100 * clip(x)) has norm <= max_norm
+    g = jax.grad(lambda v: jnp.sum(100.0 * diff_ba._bwd_clip(v, 1.0)))(x)
+    assert float(jnp.linalg.norm(g)) <= 1.0 + 1e-5
+    # disabled (max_norm=0): gradient passes through untouched
+    g0 = jax.grad(lambda v: jnp.sum(100.0 * diff_ba._bwd_clip(v, 0.0)))(x)
+    np.testing.assert_allclose(np.array(g0), 100.0 * np.ones(2), rtol=1e-6)
+
+
+def test_ba_optimize_bwd_clip_forward_unchanged():
+    """bwd_clip must not change the BA FORWARD result (only grads)."""
+    from sage_slam_tpu.geometry.camera import PinholeCamera
+    from sage_slam_tpu.geometry.interp import locations_1d_to_homo
+    from sage_slam_tpu.ops import geometric, photometric
+    from sage_slam_tpu.ops.pyramid import gaussian_pyramid_with_grad, mask_pyramid
+
+    rng = np.random.default_rng(5)
+    h, w, cs, fs, L, n = 16, 20, 4, 4, 2, 32
+    cam = PinholeCamera(fx=w * 1.1, fy=w * 1.1, cx=w / 2 - 0.5,
+                        cy=h / 2 - 0.5, width=w, height=h)
+    pyr = CameraPyramid.build(cam, L)
+    feat = jnp.asarray(rng.standard_normal((fs, h, w)).astype(np.float32) * 0.3)
+    mask = jnp.ones((h, w))
+    fpyr, gpyr = gaussian_pyramid_with_grad(feat, mask_pyramid(mask, L), L)
+    bias = jnp.asarray(rng.uniform(0.8, 1.5, h * w).astype(np.float32))
+    jac = jnp.asarray((rng.standard_normal((h * w, cs)) * 0.02).astype(np.float32))
+    loc = jnp.asarray(rng.choice(h * w, n, replace=False).astype(np.int32))
+    zero = jnp.asarray(0, jnp.int32)
+    kf0 = photometric.PhotoKf0(
+        loc, locations_1d_to_homo(loc, cam),
+        photometric.sample_source_features(fpyr, loc, pyr), zero, zero,
+    )
+    inputs = diff_ba.BAInputs(
+        kf0=kf0, fr1=photometric.PhotoFr1(zero),
+        photo_shared=photometric.PhotoShared(bias, jac, fpyr, gpyr,
+                                             mask.reshape(-1)),
+        geo_kf0=geometric.GeoKf0(loc, locations_1d_to_homo(loc, cam), zero),
+        geo_kf1=geometric.GeoKf1(zero),
+        geo_shared=geometric.GeoShared(bias, jac, mask.reshape(-1)),
+        matches=None,
+        mean_sq_depth=jnp.mean(bias**2),
+        init_scale=jnp.asarray(1.0),
+    )
+    init = diff_ba.BAState(
+        tau10=jnp.full(6, 0.01), scale0=jnp.asarray(1.0), code0=jnp.zeros(cs)
+    )
+    params = diff_ba.BAParams.init(L)
+    a, ea = diff_ba.ba_optimize(params, inputs, pyr, init, max_iters=2,
+                                use_match_geom=False, use_geom=True)
+    b, eb = diff_ba.ba_optimize(params, inputs, pyr, init, max_iters=2,
+                                use_match_geom=False, use_geom=True,
+                                bwd_clip=0.5)
+    np.testing.assert_allclose(np.array(a.tau10), np.array(b.tau10), atol=1e-7)
+    np.testing.assert_allclose(np.array(ea), np.array(eb), atol=1e-6)
