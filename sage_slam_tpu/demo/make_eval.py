@@ -95,18 +95,19 @@ def main(argv=None):
     depth_cfg = depth_network.DepthNetConfig(basis_inner=((128, 128, 16),))
     feat_cfg = feature_network.FeatureNetConfig()
     disc_cfg = discriminator.DiscConfig(img_height=h_out, img_width=w_out)
-    # Separate-phase curriculum: the r04 joint diff-BA attempt is
-    # RECORDED as divergent at this scale (train_scalars.jsonl of the
-    # 2026-08-21 run: eval depth SI-log 0.016 at the separate-phase end
-    # -> 0.456 after ~10 joint epochs before the plateau stopper fired;
-    # kf depth-RMSE 0.257 and zero BoW loop candidates downstream).
-    # The separate phase is the measured-good regime for this artifact
-    # (r03: eval depth 0.013); train() now also restores the best-eval
-    # snapshot of the final phase, so a plateaued run exports the state
-    # the stopper selected rather than the state it stopped on.
+    # TWO-PHASE curriculum (training.py:266-269): separate until plateau
+    # (the plateau stopper then JUMPS to the joint phase from the best
+    # separate snapshot), then joint diff-BA training with the round-5
+    # stabilizers — reduced joint LR (joint_lr_factor), BA-loss warm-up
+    # ramp, and the per-iteration backward clip through the LM unroll
+    # (diff_ba._bwd_clip). The r04 attempt WITHOUT these diverged at
+    # this scale (eval depth SI-log 0.016 -> 0.456 over ~10 joint
+    # epochs, recorded in docs/ERROR_BUDGET_r04.md); train() restores
+    # the joint phase's best-eval snapshot so a late plateau cannot
+    # export a degraded state.
     tcfg = train.TrainConfig(
         pyramid_levels=4, ba_iters=2, num_photo_samples=128,
-        separate_train_epoch=999, eval_fraction=0.2, cycle_steps=200,
+        separate_train_epoch=40, eval_fraction=0.2, cycle_steps=200,
     )
     t0 = time.time()
     state, history = train.train(
@@ -304,7 +305,7 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # 6. EVAL.md
     tr = report["training"]
-    md = f"""# EVAL — full-resolution end-to-end artifact (round 4)
+    md = f"""# EVAL — full-resolution end-to-end artifact (round 5)
 
 One deterministic chain at the reference operating point
 (in 128x160 / out 64x80, CS=FS=16, 3072 photometric samples, 4 pyramid

@@ -236,6 +236,11 @@ def main(argv=None):
     p.add_argument("--orbits", type=float, default=1.0,
                    help=">1 = multi-revisit trajectory (loop-wins eval)")
     p.add_argument("--geo_weight", type=float, default=None)
+    # hard mode: endoscopy-like photometric nuisances (view-dependent
+    # light falloff + specular lobe + sensor noise) — io.dataset
+    p.add_argument("--light_falloff", type=float, default=0.0)
+    p.add_argument("--specular", type=float, default=0.0)
+    p.add_argument("--noise", type=float, default=0.0)
     p.add_argument("--stages", default=None,
                    help="comma-separated labels from the default matrix")
     p.add_argument("--depth_checkpoint", default=None)
@@ -253,6 +258,8 @@ def main(argv=None):
         num_frames=args.num_frames, height=args.height, width=args.width,
         seed=0, orbit_radius=args.orbit_radius, rot_amp=args.rot_amp,
         mask_margin=args.mask_margin, orbits=args.orbits,
+        light_falloff=args.light_falloff, specular=args.specular,
+        noise=args.noise,
     )
     cfg = SlamConfig(
         net_input_size=(args.height, args.width),

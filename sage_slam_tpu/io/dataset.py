@@ -486,6 +486,10 @@ class Bowl3DInterface(CameraInterface):
         mask_margin: int = 0,
         focal: float = 0.7,
         orbits: float = 1.0,
+        light_falloff: float = 0.0,
+        specular: float = 0.0,
+        spec_power: float = 32.0,
+        noise: float = 0.0,
     ):
         self.n = num_frames
         self.h, self.w = height, width
@@ -501,6 +505,19 @@ class Bowl3DInterface(CameraInterface):
         # reference's pose-scale loop graph is built for,
         # deepfactors.cpp:81-386)
         self.orbits = float(orbits)
+        # ---- "hard mode": the endoscopy photometric nuisances the
+        # analytic texture lacks (round-4 verdict missing #2). All are
+        # VIEW-DEPENDENT, so they violate the brightness-constancy
+        # assumption exactly the way the reference's endoscope does
+        # (co-located light + wet tissue): light_falloff k gives a
+        # camera-attached point light with 1/(1 + k d^2) intensity,
+        # specular adds a Phong lobe from the same light (half-vector =
+        # view direction), noise adds per-frame seeded sensor noise.
+        # Defaults 0 = the exact legacy Lambertian-texture renderer.
+        self.light_falloff = float(light_falloff)
+        self.specular = float(specular)
+        self.spec_power = float(spec_power)
+        self.noise = float(noise)
         # video-mask border (the reference's endoscopy mask zeroes the
         # frame borders, so conv border artifacts never enter training
         # or the runtime; mask_margin reproduces that property)
@@ -520,6 +537,7 @@ class Bowl3DInterface(CameraInterface):
             fx=width * focal, fy=width * focal, cx=width / 2 - 0.5,
             cy=height / 2 - 0.5, width=width, height=height,
         )
+        self._seed = int(seed)
         rng = np.random.default_rng(seed)
         # texture banks: per-channel frequencies/phases. BROADBAND on
         # purpose: a narrow band (the original 18-42 rad/unit ~ 7-17 px
@@ -648,7 +666,33 @@ class Bowl3DInterface(CameraInterface):
         cam = self._cam.resized(w, h)
         pose = self.pose_at(i)
         depth, hit = self._raycast(pose, h, w, cam)
-        return self._texture(hit), depth, pose
+        img = self._texture(hit)
+        if self.light_falloff > 0 or self.specular > 0 or self.noise > 0:
+            eye = pose[:3, 3]
+            to_eye = eye[None, None, :] - hit  # [h, w, 3]
+            dist = np.linalg.norm(to_eye, axis=-1)
+            if self.light_falloff > 0:
+                img = img / (1.0 + self.light_falloff * dist[None] ** 2)
+            if self.specular > 0:
+                center = np.array([0.0, 0.0, self.z0])
+                normal = center[None, None, :] - hit  # interior normal
+                normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+                view = to_eye / np.maximum(dist[..., None], 1e-9)
+                ndv = np.clip((normal * view).sum(-1), 0.0, 1.0)
+                spec = self.specular * ndv**self.spec_power
+                if self.light_falloff > 0:
+                    spec = spec / (1.0 + self.light_falloff * dist**2)
+                img = img + spec[None]
+            if self.noise > 0:
+                # deterministic per (dataset seed, frame): renders are
+                # reproducible across processes and resolutions rescale
+                # independently
+                rng = np.random.default_rng([self._seed, 7919, int(i)])
+                img = img + rng.normal(
+                    0.0, self.noise, img.shape
+                ).astype(np.float32)
+            img = np.clip(img, 0.0, 1.0).astype(np.float32)
+        return img, depth, pose
 
     def frames(self) -> Iterator[FrameRecord]:
         for i in range(self.n):
