@@ -159,6 +159,26 @@ class LoopConfig:
     cycle_max_rot_deg: float = 3.0
     cycle_max_trans_ratio: float = 0.5
     cycle_trans_floor: float = 0.02
+    # metric translation re-fit of verified loop edges: with the
+    # verified rotation fixed, (scale, t) minimizing the match-pair 3D
+    # residual is a linear least-squares whose |t| carries the METRIC
+    # scale of the depth maps. The photometric 7-DoF verification
+    # leaves |t| weakly observable at wide baseline (r05 measured:
+    # accepted edges with direction cos >= 0.99 but |t| 0.5x-3.3x of
+    # GT), and the cycle gate cannot see it — both directions share
+    # the bias. The edge translation is rescaled to the metric
+    # magnitude; edges whose photometric |t| disagrees by more than
+    # verify_metric_max_ratio (either way), whose directions disagree
+    # (cos < verify_metric_min_cos) or with too few LS inliers are
+    # rejected.
+    # Geman-McClure robustification of LOOP edges in the pose-scale
+    # graph: phi = factor * median(odometry edge residual at snapshot);
+    # 0 disables (Gaussian, the reference behavior)
+    pose_graph_dcs_factor: float = 3.0
+    verify_metric_trans: bool = True
+    verify_metric_max_ratio: float = 1.4
+    verify_metric_min_cos: float = 0.95
+    verify_metric_min_inliers: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

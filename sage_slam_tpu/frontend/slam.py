@@ -875,10 +875,76 @@ class SlamSystem:
         else:
             quality = 1.0
 
-        # pose_cur_ref with scale-adjusted translation
-        # (loop_detector.cpp:188-196)
+        res_trans = res.trans
+        if lcfg.verify_metric_trans:
+            # metric |t| re-fit (LoopConfig.verify_metric_trans): with
+            # R fixed, min_{a,t} sum w |x1 - a R x0 - t|^2 is linear —
+            # A_i = [R x0_i | I3], b_i = x1_i — and its t carries the
+            # depth maps' metric scale, unlike the photometric 7-DoF |t|
+            h = jax.device_get(dict(
+                d0=mg.dpts0, h0=mg.homo0, d1=mg.dpts1, h1=mg.homo1,
+                w=mg.inliers, rot=res.rot, trans=res.trans,
+            ))
+            w_in = h["w"] > 0.5
+            n_in = int(w_in.sum())
+            if n_in < lcfg.verify_metric_min_inliers:
+                log.debug(
+                    "verify_7dof ref=%d REJECT metric inliers %d < %d",
+                    ref_id, n_in, lcfg.verify_metric_min_inliers,
+                )
+                return None
+            x0 = (h["d0"][:, None] * h["h0"])[w_in]
+            x1 = (h["d1"][:, None] * h["h1"])[w_in]
+            rx0 = x0 @ np.asarray(h["rot"]).T
+            a_mat = np.zeros((3 * n_in, 4))
+            a_mat[:, 0] = rx0.reshape(-1)
+            a_mat[:, 1:] = np.tile(np.eye(3), (n_in, 1))
+            sol, *_ = np.linalg.lstsq(
+                a_mat, x1.reshape(-1), rcond=None
+            )
+            t_ls = sol[1:4]
+            mag_lm = float(np.linalg.norm(h["trans"]))
+            mag_ls = float(np.linalg.norm(t_ls))
+            cos = float(
+                h["trans"] @ t_ls / max(mag_lm * mag_ls, 1e-12)
+            )
+            ratio = mag_lm / max(mag_ls, 1e-12)
+            if (
+                ratio > lcfg.verify_metric_max_ratio
+                or ratio < 1.0 / lcfg.verify_metric_max_ratio
+                or cos < lcfg.verify_metric_min_cos
+            ):
+                log.debug(
+                    "verify_7dof ref=%d REJECT metric |t| ratio %.2f "
+                    "cos %.3f (gates %.2f/%.2f)",
+                    ref_id, ratio, cos, lcfg.verify_metric_max_ratio,
+                    lcfg.verify_metric_min_cos,
+                )
+                return None
+            # repair: keep the photometric direction, pin the metric
+            # magnitude. The edge translation is used DIRECTLY in store
+            # gauge units: our tracker models scaled store depths, so
+            # t is already in the query's store/world units — the
+            # reference's ref_scale/res.scale conversion
+            # (loop_detector.cpp:188-196) belongs to its UNSCALED-depth
+            # tracker convention, and res.scale itself is the weakly
+            # observable 7-DoF parameter (measured wobbling 0.46-1.08
+            # across edges while |t_lm|/|t_ls| agreed within 10%) — the
+            # division was the dominant loop-edge magnitude corruption.
+            res_trans = res.trans * (mag_ls / max(mag_lm, 1e-12))
+            log.debug(
+                "verify_7dof ref=%d metric |t_lm|=%.4f |t_ls|=%.4f "
+                "a_ls=%.3f res.scale=%.3f cos=%.3f",
+                ref_id, mag_lm, mag_ls, float(sol[0]),
+                float(res.scale), cos,
+            )
+
         ref_scale = float(_get_row(self.store.variables.scale, ref_id))
-        trans = res.trans * ref_scale / float(res.scale)
+        if lcfg.verify_metric_trans:
+            trans = res_trans  # metric |t|, store gauge (see above)
+        else:
+            # reference-parity conversion (loop_detector.cpp:188-196)
+            trans = res_trans * ref_scale / float(res.scale)
         pose_cur_ref = SE3(res.rot, trans)
         fr_scale = self.mapper.correct_depth_scale(
             dataclasses.replace(
@@ -913,9 +979,9 @@ class SlamSystem:
         lcfg = self.cfg.loop
         k = self.store.capacity
 
-        i0, i1, trot, ttr, ts0, ts1, w = [], [], [], [], [], [], []
+        i0, i1, trot, ttr, ts0, ts1, w, isl = [], [], [], [], [], [], [], []
 
-        def add_edge(a, b, rel, s0, s1, weight):
+        def add_edge(a, b, rel, s0, s1, weight, loop_edge=False):
             i0.append(a)
             i1.append(b)
             trot.append(np.array(rel.rot))
@@ -923,6 +989,7 @@ class SlamSystem:
             ts0.append(float(s0))
             ts1.append(float(s1))
             w.append(weight)
+            isl.append(1.0 if loop_edge else 0.0)
 
         with self.store.lock:
             n = self.store.num_active
@@ -954,9 +1021,11 @@ class SlamSystem:
             for (a, b), (s0, s1) in self.global_loops.items():
                 rel = se3m.compose(se3m.inverse(spose(b)), spose(a))
                 add_edge(a, b, rel, s0, s1,
-                         lcfg.pose_graph_global_link_weight)
+                         lcfg.pose_graph_global_link_weight,
+                         loop_edge=True)
                 add_edge(b, a, se3m.inverse(rel), s1, s0,
-                         lcfg.pose_graph_global_link_weight)
+                         lcfg.pose_graph_global_link_weight,
+                         loop_edge=True)
                 in_graph.update((a, b))
 
             scale_valid = np.zeros(k, np.float32)
@@ -974,10 +1043,10 @@ class SlamSystem:
                 # marginal loop cannot outvote clean odometry edges
                 wq = lcfg.pose_graph_global_link_weight * lp.quality
                 add_edge(lp.id_ref, kf_id, lp.pose_cur_ref, tgt_s0,
-                         tgt_s1, wq)
+                         tgt_s1, wq, loop_edge=True)
                 add_edge(kf_id, lp.id_ref,
                          se3m.inverse(lp.pose_cur_ref), tgt_s1, tgt_s0,
-                         wq)
+                         wq, loop_edge=True)
                 in_graph.update((lp.id_ref, kf_id))
                 if idx == 0:
                     scale_valid[lp.id_ref] = 1.0
@@ -1009,6 +1078,7 @@ class SlamSystem:
             target_scale1=jnp.asarray(ts1),
             weight=jnp.asarray(w),
             valid=jnp.ones(len(i0)),
+            is_loop=jnp.asarray(isl),
         )
         priors = pose_graph.PoseScalePriors(
             pose_valid=jnp.asarray(pose_valid),
@@ -1024,10 +1094,27 @@ class SlamSystem:
         active = np.zeros(k, np.float32)
         active[:n] = 1.0
 
+        # robust loop edges (pose_graph.PoseScaleEdges.is_loop): the
+        # Geman-McClure phi is set from the odometry edges' residual
+        # scale at the snapshot, so "inconsistent" is measured against
+        # the graph's own noise floor rather than an absolute constant
+        dcs_phi = 0.0
+        if getattr(lcfg, "pose_graph_dcs_factor", 0.0) > 0:
+            edge_err = np.asarray(
+                pose_graph._edge_linearize(variables, edges, lcfg)[2]
+            )
+            odo = edge_err[np.asarray(isl) < 0.5]
+            if len(odo):
+                dcs_phi = float(
+                    lcfg.pose_graph_dcs_factor
+                    * max(float(np.median(odo)), 1e-8)
+                )
+
         if self._loop_solve_hook is not None:  # test injection point
             self._loop_solve_hook()
         v_opt, err, _ = pose_graph.optimize(
-            variables, edges, priors, lcfg, jnp.asarray(active)
+            variables, edges, priors, lcfg, jnp.asarray(active),
+            dcs_phi=dcs_phi,
         )
         jax.block_until_ready(v_opt.scale)  # sync OUTSIDE the lock
 

@@ -51,6 +51,17 @@ class PoseScaleEdges(NamedTuple):
     target_scale1: jax.Array  # [E]
     weight: jax.Array  # [E] link weight
     valid: jax.Array  # [E]
+    # 1 for LOOP edges (new + previous global loops), 0 for odometry
+    # links. Loop edges get a Geman-McClure robust kernel (dcs_phi):
+    # their verified relative poses carry errors up to tens of % of
+    # baseline at wide baseline (r05 measured), and a Gaussian edge at
+    # global weight 5 lets one such edge bend the whole graph; the
+    # saturating kernel mutes edges that stay inconsistent with the
+    # rest of the graph while leaving genuine drift-correcting revisits
+    # (whose acceptance cancels far more odometry error than their own
+    # residual) fully active. dcs_phi <= 0 disables (Gaussian edges,
+    # the reference's behavior, deepfactors.cpp:165-233).
+    is_loop: jax.Array | None = None
 
 
 class PoseScalePriors(NamedTuple):
@@ -62,7 +73,9 @@ class PoseScalePriors(NamedTuple):
     scale_weight: jax.Array  # [K] per-KF prior weight
 
 
-def _edge_linearize(variables: Variables, e: PoseScaleEdges, cfg):
+def _edge_linearize(
+    variables: Variables, e: PoseScaleEdges, cfg, dcs_phi: float = 0.0
+):
     def one(rot0, t0, rot1, t1, s0, s1, trot, ttrans, ts0, ts1, w):
         ata, atb, err = prior_ops.rel_pose_scale_factor(
             SE3(rot0, t0),
@@ -78,7 +91,7 @@ def _edge_linearize(variables: Variables, e: PoseScaleEdges, cfg):
         )
         return ata, atb, err
 
-    return jax.vmap(one)(
+    ata, atb, err = jax.vmap(one)(
         variables.pose.rot[e.i0],
         variables.pose.trans[e.i0],
         variables.pose.rot[e.i1],
@@ -91,9 +104,21 @@ def _edge_linearize(variables: Variables, e: PoseScaleEdges, cfg):
         e.target_scale1,
         e.weight,
     )
+    if dcs_phi > 0 and e.is_loop is not None:
+        # Geman-McClure IRLS on loop edges: cost phi*r2/(phi+r2), weight
+        # (phi/(phi+r2))^2 — consistent (monotone) for the LM accept test
+        s = jnp.where(
+            e.is_loop > 0, (dcs_phi / (dcs_phi + err)) ** 2, 1.0
+        )
+        err = jnp.where(
+            e.is_loop > 0, dcs_phi * err / (dcs_phi + err), err
+        )
+        ata = ata * s[:, None, None]
+        atb = atb * s[:, None]
+    return ata, atb, err
 
 
-def linearize(variables: Variables, edges: PoseScaleEdges, pr: PoseScalePriors, cfg):
+def linearize(variables: Variables, edges: PoseScaleEdges, pr: PoseScalePriors, cfg, dcs_phi: float = 0.0):
     k = variables.num_kf
     bd = variables.block_dim  # 7 (code size 0)
     dtype = variables.scale.dtype
@@ -103,7 +128,7 @@ def linearize(variables: Variables, edges: PoseScaleEdges, pr: PoseScalePriors, 
     sel_pose = jnp.arange(6, dtype=jnp.int32)
     sel_scale = jnp.arange(6, 7, dtype=jnp.int32)
 
-    ata, atb, err = _edge_linearize(variables, edges, cfg)
+    ata, atb, err = _edge_linearize(variables, edges, cfg, dcs_phi)
     ata = graph.psd_correct(ata)
     # block layout of rel_pose_scale_factor: [p0, p1, s0, s1]
     gidx = jnp.concatenate(
@@ -146,8 +171,8 @@ def linearize(variables: Variables, edges: PoseScaleEdges, pr: PoseScalePriors, 
     return h, b, total
 
 
-def error_only(variables, edges, pr, cfg):
-    _, _, err = _edge_linearize(variables, edges, cfg)
+def error_only(variables, edges, pr, cfg, dcs_phi: float = 0.0):
+    _, _, err = _edge_linearize(variables, edges, cfg, dcs_phi)
     total = jnp.sum(err * edges.valid)
     _, _, err_p = jax.vmap(
         lambda pr_, pt, tr, tt: prior_ops.pose_prior(
@@ -174,6 +199,7 @@ def optimize(
     cfg,
     active_mask: jax.Array,
     max_iters: int | None = None,
+    dcs_phi: float = 0.0,
 ):
     """Damped GN over the pose-scale graph. Returns (variables, err, it).
 
@@ -194,8 +220,8 @@ def optimize(
 
     v, e, it, _ = graph.lm_loop(
         variables,
-        lambda v: linearize(v, edges, pr, cfg),
-        lambda v: error_only(v, edges, pr, cfg),
+        lambda v: linearize(v, edges, pr, cfg, dcs_phi),
+        lambda v: error_only(v, edges, pr, cfg, dcs_phi),
         active_mask,
         iters,
         init_damp=1e-4,

@@ -330,6 +330,14 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
             l_depth_src = losses.scale_invariant_depth_loss(
                 batch["depth_src"][None], pred_depth[None], mask[None]
             )
+        # phase-INDEPENDENT depth scalar: the net-bias output's SI-log
+        # error, logged in both phases so the separate->joint transition
+        # is comparable on one metric (the phases' total losses are not)
+        aux["depth_net"] = losses.scale_invariant_depth_loss(
+            batch["depth_src"][None],
+            f_src["bias_flat"].reshape(h, w)[None],
+            mask[None],
+        )
 
         # depth supervision: 0.75 src + 0.25 close network bias
         # (training.py:600-607)
