@@ -56,6 +56,13 @@ class TrainConfig:
     # per-iteration backward cotangent clip through the LM unroll
     # (diff_ba._bwd_clip); 0 disables
     ba_bwd_clip: float = 1.0
+    # the net-bias depth supervision never ramps below this factor in
+    # the joint phase: with the anchor fully removed the BA compensates
+    # a drifting bias through the codes, and the PRIOR quality erodes
+    # (measured: eval depth_net 0.019 -> 0.055 over ~14 joint epochs
+    # while the total joint loss IMPROVED). The runtime initializes
+    # depth from the zero-code bias, so bias quality is load-bearing.
+    ba_depth_anchor: float = 0.5
     response_sigma_init: float = 30.0
     pyramid_levels: int = 3
     num_photo_samples: int = 128
@@ -318,9 +325,10 @@ def make_loss_fn(cam_pyr: CameraPyramid, depth_cfg, feat_cfg, cfg: TrainConfig, 
             # raw net bias (the separate-phase anchor) to the BA output
             total = total + cfg.flow_weight * warm * l_flow
             aux["flow"] = l_flow
+            anchor = jnp.maximum(1.0 - warm, cfg.ba_depth_anchor)
             l_depth_src = warm * losses.scale_invariant_depth_loss(
                 batch["depth_src"][None], pred_depth[None], mask[None]
-            ) + (1.0 - warm) * losses.scale_invariant_depth_loss(
+            ) + anchor * losses.scale_invariant_depth_loss(
                 batch["depth_src"][None],
                 f_src["bias_flat"].reshape(h, w)[None],
                 mask[None],
