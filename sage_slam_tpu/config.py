@@ -177,6 +177,15 @@ class LoopConfig:
     pose_graph_dcs_factor: float = 3.0
     verify_metric_trans: bool = True
     verify_metric_max_ratio: float = 1.4
+    # REVISIT gate: accept a global loop only when the metric baseline
+    # is small relative to the scene depth (|t_ls| / median matched
+    # depth). Wide-baseline cross-cavity pairs pass the BoW/overlap
+    # gates inside a cavity (every view overlaps every other), but
+    # their verified edges carry errors of 10-20% of baseline — larger
+    # than the drift they would correct — while genuine same-viewpoint
+    # revisits (the edges loop closure exists for,
+    # deepfactors.cpp:81-386) verify to ~1%. 0 disables.
+    global_max_baseline_ratio: float = 0.10
     verify_metric_min_cos: float = 0.95
     verify_metric_min_inliers: int = 8
 

@@ -905,6 +905,17 @@ class SlamSystem:
             t_ls = sol[1:4]
             mag_lm = float(np.linalg.norm(h["trans"]))
             mag_ls = float(np.linalg.norm(t_ls))
+            med_d = float(np.median(h["d0"][w_in]))
+            if (
+                lcfg.global_max_baseline_ratio > 0
+                and mag_ls > lcfg.global_max_baseline_ratio * med_d
+            ):
+                log.debug(
+                    "verify_7dof ref=%d REJECT baseline %.3f > %.2f*%.3f"
+                    " (not a revisit)", ref_id, mag_ls,
+                    lcfg.global_max_baseline_ratio, med_d,
+                )
+                return None
             cos = float(
                 h["trans"] @ t_ls / max(mag_lm * mag_ls, 1e-12)
             )
