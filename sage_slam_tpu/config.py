@@ -89,6 +89,12 @@ class MapperConfig:
     gn_damp_inc_factor: float = 10.0
     dpt_eps: float = 1.0e-6
     refine_mapping_iters: int = 10
+    # coarse-to-fine annealed refinement: the first N refine rounds
+    # zero the FINEST half of the photometric level weights (wide
+    # coarse basins first), then the full weights take over. Escapes
+    # the measured local-minimum trap of the full cost (the converged
+    # full-graph state sits 8% above the true geometry's cost). 0 = off.
+    refine_coarse_rounds: int = 0
     # RefineMapping convergence (the ISAM2 relinearization-threshold
     # analog, deepfactors.cpp:296-313): the full-graph LM stops once an
     # accepted step's gradient or parameter increment falls below these

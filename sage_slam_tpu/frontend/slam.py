@@ -1231,14 +1231,30 @@ class SlamSystem:
         n = iters or self.cfg.mapper.refine_mapping_iters
         err = 0.0
         self.refine_iterations = 0
-        for _ in range(n):
-            err = self.mapper.mapping_step(full=True)
+        mcfg = self.cfg.mapper
+        coarse_w = None
+        if mcfg.refine_coarse_rounds > 0:
+            w = mcfg.photo_factor_weights
+            coarse_w = tuple(
+                0.0 if lvl < len(w) // 2 else w[lvl]
+                for lvl in range(len(w))
+            )
+        for round_i in range(n):
+            anneal = (
+                coarse_w
+                if coarse_w is not None
+                and round_i < mcfg.refine_coarse_rounds
+                else None
+            )
+            err = self.mapper.mapping_step(full=True, photo_weights=anneal)
             self.refine_iterations += self.mapper.last_step_iters
             # keyframes still held by the loop-closure reconciliation
             # were FROZEN this step — convergence only counts once every
             # loop value has been absorbed (mapper.cpp:554-573 clears
             # the holds before the final convergence check)
-            if self.mapper.last_step_converged and not (
+            # convergence at COARSE weights is not convergence of the
+            # full cost — only full-weight rounds may end the loop
+            if anneal is None and self.mapper.last_step_converged and not (
                 self.store.reinitialize_count > 0
             ).any():
                 break

@@ -583,6 +583,7 @@ class Mapper:
         max_iters: Optional[int] = None,
         full: bool = False,
         mesh=None,
+        photo_weights: Optional[Tuple[float, ...]] = None,
     ) -> float:
         """One windowed BA solve + write-back (MappingStep,
         mapper.cpp:469-612). Returns the final graph error.
@@ -697,6 +698,18 @@ class Mapper:
         if self.solve_hook is not None:  # test injection point
             self.solve_hook()
 
+        # coarse-to-fine annealed refine (SlamSystem.refine_mapping):
+        # override the per-level photometric weights for this solve —
+        # solving the coarse levels first widens the basin (the full
+        # cost's fine levels are the non-convex part; measured: the
+        # converged full-graph state sits in a local minimum 8% ABOVE
+        # the cost of the true geometry)
+        mcfg = self.cfg.mapper
+        if photo_weights is not None:
+            import dataclasses as _dc
+
+            mcfg = _dc.replace(mcfg, photo_factor_weights=photo_weights)
+
         if mesh is not None:
             # multi-chip execution target: full-capacity variables, edge
             # tables sharded over the mesh (parallel/sharded_ba); the
@@ -705,6 +718,9 @@ class Mapper:
             from ..parallel import sharded_ba
 
             sharded = sharded_ba.shard_problem(problem, mesh)
+            assert photo_weights is None, (
+                "annealed weights not plumbed through the sharded path"
+            )
             umask_k = update_mask
             if umask_k.ndim == 1:
                 pad = self.store.capacity - kb
@@ -727,18 +743,19 @@ class Mapper:
                 problem.reproj_edges.i0.shape[0],
                 kc,
                 full,
+                photo_weights,
             )
             fn = self._ba_cache.get(shapes)
             if fn is None:
 
                 def _step(variables, prob, ids, pvalid, update_mask,
-                          max_iters, use_conv=full):
+                          max_iters, use_conv=full, mcfg=mcfg):
                     compact = ba.compact_problem_keyframes(
                         prob, ids, pvalid, self.cam_pyr
                     )
                     v_c = jax.tree.map(lambda x: x[ids], variables)
                     vs, err, iters, conv = ba.run_ba(
-                        v_c, compact, self.cam_pyr, self.cfg.mapper,
+                        v_c, compact, self.cam_pyr, mcfg,
                         update_mask, max_iters, use_conv=use_conv,
                     )
                     v_full = jax.tree.map(
